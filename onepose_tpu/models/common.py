@@ -1,0 +1,218 @@
+"""Shared model building blocks: point-MLPs, masked attention primitives.
+
+Conventions (deliberately different from the reference's [B, C, N] conv1d
+layout): all point sets are channel-LAST [B, N, C] so that every matmul maps
+onto the MXU as a plain [N, C] x [C, C'] contraction, and every mask is a
+bool [B, N] with True = valid. Padded slots must never influence valid
+outputs through attention or normalization statistics unless explicitly
+documented (instance-norm parity mode).
+
+Behavioral contracts mirrored from the reference (for checkpoint interop):
+- MLP = 1x1 conv stack with norm+ReLU between layers
+  (reference: src/models/matchers/SuperGlue/superglue.py:50-65 BatchNorm1d
+  variant, src/models/GATsSPG_architectures/GATs_SuperGlue.py:135-147
+  InstanceNorm1d variant).
+- Softmax attention: scores = q.k / sqrt(head_dim)
+  (reference: superglue.py:103-119).
+- Linear attention: elu(x)+1 feature map, value length normalization
+  (reference: GATs_SuperGlue.py:88-99).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class PointMLP(nn.Module):
+    """MLP applied pointwise over [B, N, C]: Dense+norm+ReLU stack.
+
+    norm: 'instance' normalizes each channel over the N axis per example
+    (no learned affine, matching torch InstanceNorm1d defaults); 'batch'
+    uses learned scale/bias with batch statistics folded at conversion time
+    (i.e. a pure affine in inference; see convert.fold_batchnorm); 'none'
+    skips normalization. The norm is applied between layers, not after the
+    final Dense (reference MLP contract).
+
+    instance_mask_aware: if True, instance-norm statistics are computed over
+    valid points only. Default False for parity with the reference, which
+    computes statistics over padded points too.
+    """
+
+    features: Sequence[int]
+    norm: str = "instance"
+    instance_mask_aware: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        n_layers = len(self.features)
+        for i, feat in enumerate(self.features):
+            x = nn.Dense(feat, dtype=self.dtype, name=f"dense_{i}")(x)
+            if i < n_layers - 1:
+                if self.norm == "instance":
+                    x = masked_instance_norm(
+                        x, mask if self.instance_mask_aware else None
+                    )
+                elif self.norm == "batch":
+                    # Folded batchnorm: per-channel affine (scale, bias)
+                    # learned / converted from running statistics.
+                    scale = self.param(
+                        f"bn_scale_{i}", nn.initializers.ones, (feat,)
+                    )
+                    bias = self.param(
+                        f"bn_bias_{i}", nn.initializers.zeros, (feat,)
+                    )
+                    x = x * scale.astype(x.dtype) + bias.astype(x.dtype)
+                x = nn.relu(x)
+        return x
+
+
+def masked_instance_norm(
+    x: jnp.ndarray, mask: Optional[jnp.ndarray], eps: float = 1e-5
+) -> jnp.ndarray:
+    """InstanceNorm over the point axis of [B, N, C] (no affine).
+
+    With mask=None this matches torch InstanceNorm1d(C) on [B, C, N]:
+    per-(example, channel) mean/var over all N points, biased variance.
+    """
+    if mask is None:
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+    else:
+        w = mask.astype(x.dtype)[..., None]
+        n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+        mean = jnp.sum(x * w, axis=1, keepdims=True) / n
+        var = jnp.sum(jnp.square(x - mean) * w, axis=1, keepdims=True) / n
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def masked_softmax_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multi-head scaled dot-product attention with key-side masking.
+
+    q: [B, N, H, D]; k, v: [B, M, H, D]; kv_mask: [B, M] (True = valid).
+    Returns [B, N, H, D]. Invalid keys receive ~zero probability.
+    """
+    d = q.shape[-1]
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(
+        jnp.asarray(d, q.dtype)
+    )
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+def masked_linear_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Linear (kernelized) attention with the elu+1 feature map.
+
+    q: [B, N, H, D]; k, v: [B, M, H, D]; kv_mask: [B, M].
+    O(N*D^2) instead of O(N*M): out = phi(q) @ (phi(k)^T V) / (phi(q) @ sum
+    phi(k)). Masked keys contribute nothing (phi(k) is zeroed — valid
+    because phi > 0 elsewhere). Matches the reference's value-length
+    conditioning (divide V by M, multiply the result back).
+    """
+    phi_q = nn.elu(q) + 1.0
+    phi_k = nn.elu(k) + 1.0
+    if kv_mask is not None:
+        phi_k = phi_k * kv_mask.astype(phi_k.dtype)[:, :, None, None]
+    m = v.shape[1]
+    v_scaled = v / m
+    kv = jnp.einsum("bmhd,bmhe->bhde", phi_k, v_scaled)
+    z = 1.0 / (
+        jnp.einsum("bnhd,bhd->bnh", phi_q, jnp.sum(phi_k, axis=1)) + eps
+    )
+    out = jnp.einsum("bnhd,bhde,bnh->bnhe", phi_q, kv, z) * m
+    return out
+
+
+class MultiHeadAttention(nn.Module):
+    """Q/K/V projections + attention + output merge.
+
+    kind: 'softmax' (SuperGlue-class, superglue.py:103-119) or 'linear'
+    (GATsSPG-class, GATs_SuperGlue.py:102-120). All projections carry bias,
+    matching the torch Conv1d(k=1) layers.
+    """
+
+    num_heads: int
+    d_model: int
+    kind: str = "softmax"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        source: jnp.ndarray,
+        source_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        head_dim = self.d_model // self.num_heads
+        b, n, _ = x.shape
+        m = source.shape[1]
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(x)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(source)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(source)
+        # Torch layout parity: view(B, head_dim, H, N) splits the channel
+        # axis as [head_dim, H] — heads are the FASTER-varying factor's
+        # second slot, so channel c maps to (c % ... ) carefully: the torch
+        # reshape of [B, C, N] into [B, D, H, N] means c = d * H + h.
+        q = q.reshape(b, n, head_dim, self.num_heads).transpose(0, 1, 3, 2)
+        k = k.reshape(b, m, head_dim, self.num_heads).transpose(0, 1, 3, 2)
+        v = v.reshape(b, m, head_dim, self.num_heads).transpose(0, 1, 3, 2)
+        if self.kind == "softmax":
+            out = masked_softmax_attention(q, k, v, source_mask)
+        else:
+            out = masked_linear_attention(q, k, v, source_mask)
+        out = out.transpose(0, 1, 3, 2).reshape(b, n, self.d_model)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(out)
+
+
+class AttentionalPropagation(nn.Module):
+    """One message-passing step: attend to source, MLP on [x, message].
+
+    The residual add happens in the caller (matching the reference GNN
+    loops). norm selects the MLP normalization flavor: 'batch' for the
+    SuperGlue-class GNN, 'instance' for the GATsSPG-class GNN.
+    """
+
+    d_model: int
+    num_heads: int
+    kind: str = "softmax"
+    norm: str = "batch"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        source: jnp.ndarray,
+        source_mask: Optional[jnp.ndarray] = None,
+        x_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        message = MultiHeadAttention(
+            self.num_heads, self.d_model, kind=self.kind, dtype=self.dtype,
+            name="attn",
+        )(x, source, source_mask)
+        mlp = PointMLP(
+            [2 * self.d_model, self.d_model],
+            norm=self.norm,
+            dtype=self.dtype,
+            name="mlp",
+        )
+        return mlp(jnp.concatenate([x, message], axis=-1), x_mask)

@@ -1,0 +1,165 @@
+"""GATsSPG: the flagship one-shot 2D-3D matcher.
+
+Behavioral spec from the reference
+(src/models/GATsSPG_architectures/GATs_SuperGlue.py:162-278):
+- GNN layer pattern ['GATs', 'self', 'cross'] * 4 over 256-d descriptors.
+  GATs layers refresh the 3D descriptors from their 2D leaves; self/cross
+  layers are residual linear-attention message passing with 4 heads.
+- The reference defines 2D/3D keypoint-position encoders but never applies
+  them in forward (GATs_SuperGlue.py:172-182 vs 203-278); they are omitted.
+- Final shared 1x1 projection, L2 normalization, similarity / scale_factor
+  (0.07), dual-softmax confidence, mutual-max + threshold (0.2) matching.
+
+TPU-first differences:
+- Static shapes with masks: n2d / n3d / leaves are padded; masked entries
+  cannot win matches or influence attention.
+- Mutual-max and match extraction are pure array ops — no host sync; the
+  downstream RANSAC-PnP consumes (idx, mask) directly on device.
+- Channel-last layouts; one jit region end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.models.common import AttentionalPropagation, NEG_INF
+from onepose_tpu.models.gats import GraphAttentionLayer
+
+
+class GATsSPG(nn.Module):
+    d_model: int = 256
+    num_heads: int = 4
+    num_blocks: int = 4  # each block = [GATs, self, cross]
+    scale_factor: float = 0.07
+    match_threshold: float = 0.2
+    include_self: bool = True
+    additional: bool = False
+    with_linear_transform: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        desc2d: jnp.ndarray,
+        desc3d: jnp.ndarray,
+        leaf_desc: jnp.ndarray,
+        mask2d: Optional[jnp.ndarray] = None,
+        mask3d: Optional[jnp.ndarray] = None,
+        leaf_mask: Optional[jnp.ndarray] = None,
+    ) -> dict:
+        """Match 2D query keypoints against the 3D point cloud.
+
+        Args:
+          desc2d: [B, N2, C] query keypoint descriptors.
+          desc3d: [B, N3, C] aggregated 3D point descriptors.
+          leaf_desc: [B, N3, L, C] per-point 2D leaf descriptors.
+          mask2d / mask3d / leaf_mask: validity masks (True = real).
+        Returns:
+          dict with conf_matrix [B, N2, N3], matches0 [B, N2] (int, -1 =
+          unmatched), matching_scores0 [B, N2], matches1 [B, N3],
+          matching_scores1 [B, N3].
+        """
+        x2 = desc2d.astype(self.dtype)
+        x3 = desc3d.astype(self.dtype)
+        leaves = leaf_desc.astype(self.dtype)
+
+        for blk in range(self.num_blocks):
+            x3 = GraphAttentionLayer(
+                in_features=self.d_model,
+                out_features=self.d_model,
+                include_self=self.include_self,
+                additional=self.additional,
+                with_linear_transform=self.with_linear_transform,
+                dtype=self.dtype,
+                name=f"gats_{blk}",
+            )(leaves, x3, leaf_mask)
+
+            # Self attention (linear), residual. ONE layer serves both
+            # streams (shared weights), matching the reference GNN loop
+            # (GATs_SuperGlue.py:79-83).
+            self_layer = AttentionalPropagation(
+                self.d_model, self.num_heads, kind="linear", norm="instance",
+                dtype=self.dtype, name=f"self_{blk}",
+            )
+            x2 = x2 + self_layer(x2, x2, mask2d, mask2d)
+            x3 = x3 + self_layer(x3, x3, mask3d, mask3d)
+
+            # Cross attention (linear), residual; shared weights likewise
+            # (GATs_SuperGlue.py:74-78).
+            cross_layer = AttentionalPropagation(
+                self.d_model, self.num_heads, kind="linear", norm="instance",
+                dtype=self.dtype, name=f"cross_{blk}",
+            )
+            d2 = cross_layer(x2, x3, mask3d, mask2d)
+            d3 = cross_layer(x3, x2, mask2d, mask3d)
+            x2, x3 = x2 + d2, x3 + d3
+
+        proj = nn.Dense(self.d_model, dtype=self.dtype, name="final_proj")
+        m2 = proj(x2)
+        m3 = proj(x3)
+        m2 = m2 / jnp.maximum(
+            jnp.linalg.norm(m2, axis=-1, keepdims=True), 1e-12
+        )
+        m3 = m3 / jnp.maximum(
+            jnp.linalg.norm(m3, axis=-1, keepdims=True), 1e-12
+        )
+
+        scores = (
+            jnp.einsum("bnc,bmc->bnm", m2, m3) / self.scale_factor
+        )  # [B, N2, N3]
+        if mask2d is not None:
+            scores = jnp.where(mask2d[:, :, None], scores, NEG_INF)
+        if mask3d is not None:
+            scores = jnp.where(mask3d[:, None, :], scores, NEG_INF)
+        conf = jax.nn.softmax(scores, axis=1) * jax.nn.softmax(scores, axis=2)
+
+        out = match_from_conf(
+            conf, self.match_threshold, mask2d=mask2d, mask3d=mask3d
+        )
+        out["conf_matrix"] = conf
+        return out
+
+
+def match_from_conf(
+    conf: jnp.ndarray,
+    threshold: float,
+    mask2d: Optional[jnp.ndarray] = None,
+    mask3d: Optional[jnp.ndarray] = None,
+) -> dict:
+    """Mutual-max + threshold match extraction from a confidence matrix.
+
+    Pure array version of the reference's gather-based extraction
+    (GATs_SuperGlue.py:255-267); -1 marks unmatched slots.
+    """
+    b, n2, n3 = conf.shape
+    idx0 = jnp.argmax(conf, axis=2)  # [B, N2] best 3D per 2D
+    idx1 = jnp.argmax(conf, axis=1)  # [B, N3] best 2D per 3D
+    max0 = jnp.max(conf, axis=2)
+    arange2 = jnp.arange(n2)[None, :]
+    arange3 = jnp.arange(n3)[None, :]
+    mutual0 = arange2 == jnp.take_along_axis(idx1, idx0, axis=1)
+    mutual1 = arange3 == jnp.take_along_axis(idx0, idx1, axis=1)
+    mscores0 = jnp.where(mutual0, max0, 0.0)
+    mscores1 = jnp.where(
+        mutual1, jnp.take_along_axis(mscores0, idx1, axis=1), 0.0
+    )
+    valid0 = mutual0 & (mscores0 > threshold)
+    if mask2d is not None:
+        valid0 &= mask2d
+    valid1 = mutual1 & jnp.take_along_axis(valid0, idx1, axis=1)
+    if mask3d is not None:
+        valid1 &= mask3d
+    matches0 = jnp.where(valid0, idx0, -1)
+    matches1 = jnp.where(valid1, idx1, -1)
+    return {
+        "matches0": matches0,
+        "matches1": matches1,
+        "matching_scores0": mscores0,
+        "matching_scores1": mscores1,
+        "valid0": valid0,
+        "valid1": valid1,
+    }

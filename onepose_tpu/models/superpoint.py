@@ -1,0 +1,210 @@
+"""SuperPoint-class keypoint detector + descriptor, TPU-native.
+
+Behavioral spec from the reference extractor
+(src/models/extractors/SuperPoint/superpoint.py:119-244): VGG-style shared
+encoder (64, 64, 128, 128, 256 channels, three 2x2 max-pools -> stride 8),
+a 65-channel detector head (softmax, dustbin dropped, 8x8 depth-to-space),
+iterative max-pool NMS (superpoint.py:47-68), border removal, top-k
+selection, and a 256-d descriptor head bilinearly sampled at keypoints with
+align_corners=True semantics (superpoint.py:95-113) and L2-normalized.
+
+TPU-first differences:
+- NHWC layout; the whole forward is one jit region with static shapes.
+- Keypoint selection returns FIXED-SIZE [B, K] arrays plus a validity mask
+  (the reference returns ragged per-image lists, forcing host sync).
+- NMS is expressed as reduce_window max-pooling, fusing into the XLA graph.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
+    """Iterative max-pool non-maximum suppression on [B, H, W] score maps.
+
+    Exact re-statement of the reference algorithm (superpoint.py:47-68):
+    two refinement rounds where suppressed neighborhoods are zeroed and
+    local maxima are recomputed.
+    """
+    assert nms_radius >= 0
+    win = 2 * nms_radius + 1
+
+    def max_pool(x):
+        return jax.lax.reduce_window(
+            x,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1, win, win),
+            window_strides=(1, 1, 1),
+            padding=[(0, 0), (nms_radius, nms_radius), (nms_radius, nms_radius)],
+        )
+
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == max_pool(scores)
+    for _ in range(2):
+        supp_mask = (
+            max_pool(max_mask.astype(scores.dtype)) > 0
+        )
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == max_pool(supp_scores)
+        max_mask = max_mask | (new_max_mask & (~supp_mask))
+    return jnp.where(max_mask, scores, zeros)
+
+
+class SuperPoint(nn.Module):
+    """Dense forward: grayscale [B, H, W, 1] -> (score map, descriptor map).
+
+    H and W must be multiples of 8.
+    """
+
+    descriptor_dim: int = 256
+    nms_radius: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray) -> dict:
+        conv = partial(
+            nn.Conv, kernel_size=(3, 3), strides=(1, 1), padding="SAME",
+            dtype=self.dtype,
+        )
+        pool = partial(
+            nn.max_pool, window_shape=(2, 2), strides=(2, 2)
+        )
+        x = image.astype(self.dtype)
+        x = nn.relu(conv(features=64, name="conv1a")(x))
+        x = nn.relu(conv(features=64, name="conv1b")(x))
+        x = pool(x)
+        x = nn.relu(conv(features=64, name="conv2a")(x))
+        x = nn.relu(conv(features=64, name="conv2b")(x))
+        x = pool(x)
+        x = nn.relu(conv(features=128, name="conv3a")(x))
+        x = nn.relu(conv(features=128, name="conv3b")(x))
+        x = pool(x)
+        x = nn.relu(conv(features=128, name="conv4a")(x))
+        x = nn.relu(conv(features=128, name="conv4b")(x))
+
+        # Detector head: 65 logits per 8x8 cell; softmax; drop the dustbin;
+        # depth-to-space back to full resolution.
+        cpa = nn.relu(conv(features=256, name="convPa")(x))
+        logits = nn.Conv(
+            features=65, kernel_size=(1, 1), dtype=self.dtype, name="convPb"
+        )(cpa)
+        probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # [B, h, w, 64]
+        b, h, w, _ = probs.shape
+        scores = probs.reshape(b, h, w, 8, 8)
+        scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
+        scores = simple_nms(scores, self.nms_radius)
+
+        # Descriptor head: 256-d dense map at stride 8, L2-normalized.
+        cda = nn.relu(conv(features=256, name="convDa")(x))
+        desc = nn.Conv(
+            features=self.descriptor_dim, kernel_size=(1, 1),
+            dtype=self.dtype, name="convDb",
+        )(cda)
+        desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True)
+
+        return {"score_map": scores, "descriptor_map": desc}
+
+
+def sample_descriptors(
+    keypoints: jnp.ndarray,
+    descriptor_map: jnp.ndarray,
+    stride: int = 8,
+) -> jnp.ndarray:
+    """Bilinear descriptor sampling at keypoint pixel locations.
+
+    keypoints: [B, K, 2] (x, y) full-resolution pixels.
+    descriptor_map: [B, h, w, C] stride-8 dense descriptors.
+    Matches torch grid_sample(align_corners=True) through the reference's
+    normalization (superpoint.py:95-113), then L2-normalizes.
+    """
+    b, hf, wf, c = descriptor_map.shape
+    s = float(stride)
+    kp = keypoints.astype(descriptor_map.dtype)
+    kp = kp - s / 2 + 0.5
+    denom = jnp.array(
+        [wf * s - s / 2 - 0.5, hf * s - s / 2 - 0.5],
+        descriptor_map.dtype,
+    )
+    grid = kp / denom * 2.0 - 1.0  # [-1, 1]
+    # align_corners=True: g -> (g + 1) / 2 * (size - 1)
+    fx = (grid[..., 0] + 1.0) * 0.5 * (wf - 1)
+    fy = (grid[..., 1] + 1.0) * 0.5 * (hf - 1)
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(dmap, yi, xi):
+        valid = (xi >= 0) & (xi < wf) & (yi >= 0) & (yi < hf)
+        v = dmap[jnp.clip(yi, 0, hf - 1), jnp.clip(xi, 0, wf - 1)]
+        return v * valid[..., None].astype(v.dtype)
+
+    # Per-example gather of the 4 corners (vmapped over batch).
+    g00 = jax.vmap(gather)(descriptor_map, y0i, x0i)
+    g10 = jax.vmap(gather)(descriptor_map, y0i, x0i + 1)
+    g01 = jax.vmap(gather)(descriptor_map, y0i + 1, x0i)
+    g11 = jax.vmap(gather)(descriptor_map, y0i + 1, x0i + 1)
+    desc = (
+        g00 * (1 - wx) * (1 - wy)
+        + g10 * wx * (1 - wy)
+        + g01 * (1 - wx) * wy
+        + g11 * wx * wy
+    )
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(norm, 1e-12)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_keypoints", "border", "stride"),
+)
+def extract_keypoints(
+    score_map: jnp.ndarray,
+    descriptor_map: jnp.ndarray,
+    max_keypoints: int = 1024,
+    keypoint_threshold: float = 0.005,
+    border: int = 4,
+    stride: int = 8,
+) -> dict:
+    """Static-shape keypoint selection from a NMS'd score map.
+
+    Reference flow (superpoint.py:203-239): threshold -> border removal ->
+    top-k -> (x, y) -> bilinear descriptor sampling. Here all images in the
+    batch yield exactly `max_keypoints` slots with a validity mask.
+
+    Returns dict(keypoints [B, K, 2] float xy, scores [B, K],
+    descriptors [B, K, C], mask [B, K] bool).
+    """
+    b, H, W = score_map.shape
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+    in_border = (
+        (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
+    )
+    gated = jnp.where(
+        in_border & (score_map > keypoint_threshold), score_map, 0.0
+    )
+    flat = gated.reshape(b, H * W)
+    top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)
+    kx = (top_idx % W).astype(jnp.float32)
+    ky = (top_idx // W).astype(jnp.float32)
+    keypoints = jnp.stack([kx, ky], axis=-1)  # (x, y)
+    mask = top_scores > keypoint_threshold
+    descriptors = sample_descriptors(keypoints, descriptor_map, stride)
+    zero_kp = jnp.zeros_like(keypoints)
+    return {
+        "keypoints": jnp.where(mask[..., None], keypoints, zero_kp),
+        "scores": jnp.where(mask, top_scores, 0.0),
+        "descriptors": descriptors * mask[..., None],
+        "mask": mask,
+    }
