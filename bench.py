@@ -1,0 +1,112 @@
+"""Headline benchmark: end-to-end one-shot pose estimation frames/s.
+
+Measures the full fused on-device pipeline at production shapes —
+SuperPoint (512x512 crop, 1000 keypoint slots) -> GATsSPG matching against
+a 2000-point / 8-leaf object annotation -> 512-hypothesis RANSAC EPnP +
+Gauss-Newton refinement — batch 8, steady state, on whatever accelerator
+JAX selects (the TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline provenance: the reference (huanghaoran111/OnePose) publishes no
+throughput numbers and its CUDA stack is not runnable here; the recorded
+baseline is the reference torch pipeline (SuperPoint + GATsSPG forward at
+identical shapes) measured on this host's CPU: 0.47 frames/s
+(see BASELINE.md). vs_baseline = ours / 0.47.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 0.47  # reference torch pipeline, this host's CPU (BASELINE.md)
+
+BATCH = 8
+IMG = 512
+N_KPTS = 1000
+N_POINTS3D = 2000
+NUM_LEAF = 8
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_tpu.models.gats_spg import GATsSPG
+    from onepose_tpu.models.superpoint import SuperPoint
+    from onepose_tpu.runtime.pipeline import ObjectAnnotation, PosePipeline
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    sp = SuperPoint()
+    matcher = GATsSPG()
+    pipe = PosePipeline(sp, matcher, max_keypoints=N_KPTS)
+
+    images = jnp.asarray(
+        rng.random((BATCH, IMG, IMG, 1), np.float32)
+    )
+    K = jnp.broadcast_to(
+        jnp.asarray(
+            [[600.0, 0, IMG / 2], [0, 600.0, IMG / 2], [0, 0, 1]],
+            jnp.float32,
+        ),
+        (BATCH, 3, 3),
+    )
+    anno = ObjectAnnotation(
+        points3d=jnp.asarray(
+            rng.normal(size=(N_POINTS3D, 3)) * 0.1, jnp.float32
+        ),
+        desc3d=jnp.asarray(
+            rng.normal(size=(N_POINTS3D, 256)), jnp.float32
+        ),
+        leaf_desc=jnp.asarray(
+            rng.normal(size=(N_POINTS3D, NUM_LEAF, 256)), jnp.float32
+        ),
+        mask3d=jnp.ones((N_POINTS3D,), bool),
+        leaf_mask=jnp.ones((N_POINTS3D, NUM_LEAF), bool),
+    )
+
+    sp_params = sp.init(key, images[:1])
+    m_params = matcher.init(
+        key,
+        jnp.zeros((1, N_KPTS, 256), jnp.float32),
+        anno.desc3d[None],
+        anno.leaf_desc[None],
+        jnp.ones((1, N_KPTS), bool),
+        anno.mask3d[None],
+        anno.leaf_mask[None],
+    )
+
+    for i in range(WARMUP):
+        out = pipe(sp_params, m_params, images, K, anno, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = pipe(
+            sp_params, m_params, images, K, anno, jax.random.PRNGKey(i)
+        )
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pose_pipeline_frames_per_s",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

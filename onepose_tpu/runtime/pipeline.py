@@ -1,0 +1,170 @@
+"""End-to-end one-shot pose estimation pipeline, fused on device.
+
+Reference behavior (inference.py:97-182): per frame — SuperPoint on the
+cropped query image, pack with the object's 3D annotation, GATsSPG 2D-3D
+matching, mutual-max matches, RANSAC EPnP, cm-deg evaluation. The reference
+round-trips device<->host at least four times per frame
+(inference.py:141-155); here extract -> match -> solve is ONE jitted XLA
+program per frame batch, and frames are batched.
+
+Flow per batch:
+  images [B, H, W, 1] --SuperPoint--> keypoints/descriptors (static K slots)
+  --GATsSPG vs ObjectAnnotation--> matches (idx + validity)
+  --gather--> 2D-3D correspondences --RANSAC EPnP + GN refine--> poses
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.geometry.ransac import ransac_pnp
+from onepose_tpu.models.gats_spg import GATsSPG
+from onepose_tpu.models.superpoint import SuperPoint, extract_keypoints
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ObjectAnnotation:
+    """The 3D side of the matcher: one scanned object's point cloud with
+    aggregated descriptors (the output of SfM postprocessing; reference
+    artifact anno_3d_average.npz / anno_3d_collect.npz / idxs.npy,
+    src/sfm/postprocess/feature_process.py:165-188).
+
+    points3d: [N3, 3]; desc3d: [N3, C] averaged track descriptors;
+    leaf_desc: [N3, L, C]; mask3d: [N3]; leaf_mask: [N3, L];
+    scores3d: [N3] mean keypoint scores (optional, used by encoders).
+    """
+
+    points3d: jnp.ndarray
+    desc3d: jnp.ndarray
+    leaf_desc: jnp.ndarray
+    mask3d: jnp.ndarray
+    leaf_mask: jnp.ndarray
+
+    @property
+    def n_points(self) -> int:
+        return self.points3d.shape[0]
+
+
+class PosePipeline:
+    """Jit-compiled whole-frame pose estimation.
+
+    Static configuration (image size, keypoint budget, hypothesis count)
+    is bound at construction; weights and annotations are runtime pytrees.
+    """
+
+    def __init__(
+        self,
+        superpoint: SuperPoint | None = None,
+        matcher: GATsSPG | None = None,
+        max_keypoints: int = 1000,
+        keypoint_threshold: float = 0.005,
+        border: int = 4,
+        nms_radius: int = 4,
+        ransac_hypotheses: int = 512,
+        reproj_threshold: float = 5.0,
+    ):
+        self.superpoint = superpoint or SuperPoint(nms_radius=nms_radius)
+        self.matcher = matcher or GATsSPG()
+        self.max_keypoints = max_keypoints
+        self.keypoint_threshold = keypoint_threshold
+        self.border = border
+        self.ransac_hypotheses = ransac_hypotheses
+        self.reproj_threshold = reproj_threshold
+        self._jitted = jax.jit(self._forward)
+
+    def _forward(
+        self,
+        sp_params,
+        matcher_params,
+        images: jnp.ndarray,
+        K: jnp.ndarray,
+        anno: ObjectAnnotation,
+        key: jax.Array,
+    ) -> dict:
+        b = images.shape[0]
+        dense = self.superpoint.apply(sp_params, images)
+        feats = extract_keypoints(
+            dense["score_map"],
+            dense["descriptor_map"],
+            max_keypoints=self.max_keypoints,
+            keypoint_threshold=self.keypoint_threshold,
+            border=self.border,
+        )
+
+        desc3d = jnp.broadcast_to(
+            anno.desc3d[None], (b,) + anno.desc3d.shape
+        )
+        leaves = jnp.broadcast_to(
+            anno.leaf_desc[None], (b,) + anno.leaf_desc.shape
+        )
+        mask3d = jnp.broadcast_to(
+            anno.mask3d[None], (b,) + anno.mask3d.shape
+        )
+        leaf_mask = jnp.broadcast_to(
+            anno.leaf_mask[None], (b,) + anno.leaf_mask.shape
+        )
+        match = self.matcher.apply(
+            matcher_params,
+            feats["descriptors"],
+            desc3d,
+            leaves,
+            feats["mask"],
+            mask3d,
+            leaf_mask,
+        )
+
+        # Gather 2D-3D correspondences (static shape: one slot per 2D kpt).
+        idx = jnp.maximum(match["matches0"], 0)  # [B, N2]
+        pts3d = jnp.take_along_axis(
+            jnp.broadcast_to(anno.points3d[None], (b,) + anno.points3d.shape),
+            idx[..., None],
+            axis=1,
+        )  # [B, N2, 3]
+        corr_mask = match["matches0"] >= 0
+
+        keys = jax.random.split(key, b)
+        solve = partial(
+            ransac_pnp,
+            n_hyp=self.ransac_hypotheses,
+            reproj_threshold=self.reproj_threshold,
+        )
+        pnp = jax.vmap(solve)(keys, feats["keypoints"], pts3d, K, corr_mask)
+
+        return {
+            "pose": pnp["pose"],
+            "num_inliers": pnp["num_inliers"],
+            "pnp_ok": pnp["ok"],
+            "inliers": pnp["inliers"],
+            "keypoints": feats["keypoints"],
+            "kpt_mask": feats["mask"],
+            "kpt_scores": feats["scores"],
+            "matches0": match["matches0"],
+            "matching_scores0": match["matching_scores0"],
+            "num_matches": jnp.sum(corr_mask, axis=-1),
+        }
+
+    def __call__(
+        self,
+        sp_params,
+        matcher_params,
+        images: jnp.ndarray,
+        K: jnp.ndarray,
+        anno: ObjectAnnotation,
+        key: Optional[jax.Array] = None,
+    ) -> dict:
+        """images: [B, H, W, 1] grayscale in [0, 1]; K: [B, 3, 3].
+
+        Returns dict with pose [B, 4, 4] (world->cam), inlier stats, and
+        raw keypoints/matches for visualization.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._jitted(
+            sp_params, matcher_params, images, K, anno, key
+        )

@@ -1,0 +1,198 @@
+"""Integration tests: end-to-end pipeline, NN matcher oracle, train step,
+multi-device shardings (on the 8-device CPU mesh from conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.geometry import query_pose_error, ransac_pnp
+from onepose_tpu.models.gats_spg import GATsSPG
+from onepose_tpu.models.nn_matcher import mutual_nn_match
+from onepose_tpu.runtime.pipeline import ObjectAnnotation, PosePipeline
+from onepose_tpu.models.superpoint import SuperPoint
+from onepose_tpu.train.losses import focal_loss
+from onepose_tpu.train.train_step import (
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+)
+
+
+def _unit(rng, n, c=64):
+    d = rng.normal(size=(n, c)).astype(np.float32)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
+class TestNNMatcherPose:
+    def test_nn_match_to_pose(self):
+        """Synthetic object with oracle descriptors: mutual-NN matching ->
+        RANSAC PnP must recover the ground-truth pose. Exercises the whole
+        match->solve path that the learned matcher feeds in production."""
+        rng = np.random.default_rng(0)
+        n3d, n2d = 300, 200
+        pts3d = (rng.random((n3d, 3), np.float32) - 0.5) * 0.2
+        desc3d = _unit(rng, n3d)
+
+        K = np.array([[600.0, 0, 256], [0, 600.0, 256], [0, 0, 1]], np.float32)
+        R = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+        t = np.array([0.01, -0.02, 0.7], np.float32)
+
+        vis = rng.choice(n3d, n2d, replace=False)
+        pc = pts3d[vis] @ R.T + t
+        uv = pc @ K.T
+        uv = (uv[:, :2] / uv[:, 2:3]).astype(np.float32)
+        desc2d = desc3d[vis] + rng.normal(size=(n2d, 64)).astype(np.float32) * 0.05
+        desc2d /= np.linalg.norm(desc2d, axis=-1, keepdims=True)
+
+        m = mutual_nn_match(
+            jnp.asarray(desc2d), jnp.asarray(desc3d), distance_thresh=0.3
+        )
+        idx = np.asarray(m["matches0"])
+        valid = idx >= 0
+        assert valid.sum() > 150
+        # Matched 3D ids must be the true correspondences almost always.
+        acc = np.mean(idx[valid] == vis[valid])
+        assert acc > 0.95, acc
+
+        out = ransac_pnp(
+            jax.random.PRNGKey(0),
+            jnp.asarray(uv),
+            jnp.asarray(pts3d)[jnp.maximum(m["matches0"], 0)],
+            jnp.asarray(K),
+            m["matches0"] >= 0,
+            n_hyp=128,
+        )
+        pose_gt = np.eye(4, dtype=np.float32)
+        pose_gt[:3, :3] = R
+        pose_gt[:3, 3] = t
+        r_err, t_err = query_pose_error(out["pose"], jnp.asarray(pose_gt))
+        assert float(r_err) < 1.0 and float(t_err) < 1.0
+
+
+class TestPipeline:
+    def test_pipeline_shapes_and_finiteness(self):
+        rng = np.random.default_rng(1)
+        b, img, n_kpts, n3d, L = 2, 64, 64, 32, 4
+        sp = SuperPoint()
+        matcher = GATsSPG(num_blocks=1)
+        pipe = PosePipeline(
+            sp, matcher, max_keypoints=n_kpts, ransac_hypotheses=32
+        )
+        images = jnp.asarray(rng.random((b, img, img, 1), np.float32))
+        K = jnp.broadcast_to(
+            jnp.asarray(
+                [[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], jnp.float32
+            ),
+            (b, 3, 3),
+        )
+        anno = ObjectAnnotation(
+            points3d=jnp.asarray(rng.normal(size=(n3d, 3)) * 0.1, jnp.float32),
+            desc3d=jnp.asarray(rng.normal(size=(n3d, 256)), jnp.float32),
+            leaf_desc=jnp.asarray(
+                rng.normal(size=(n3d, L, 256)), jnp.float32
+            ),
+            mask3d=jnp.ones((n3d,), bool),
+            leaf_mask=jnp.ones((n3d, L), bool),
+        )
+        key = jax.random.PRNGKey(0)
+        sp_params = sp.init(key, images[:1])
+        m_params = matcher.init(
+            key,
+            jnp.zeros((1, n_kpts, 256), jnp.float32),
+            anno.desc3d[None],
+            anno.leaf_desc[None],
+            jnp.ones((1, n_kpts), bool),
+            anno.mask3d[None],
+            anno.leaf_mask[None],
+        )
+        out = pipe(sp_params, m_params, images, K, anno)
+        assert out["pose"].shape == (b, 4, 4)
+        assert np.all(np.isfinite(np.asarray(out["pose"])))
+        assert out["matches0"].shape == (b, n_kpts)
+        # Unmatched / failed frames fall back to finite identity-like poses.
+        assert np.all(np.isfinite(np.asarray(out["matching_scores0"])))
+
+
+class TestTraining:
+    def _batch(self, rng, b=8, n2=32, n3=16, L=4, C=256):
+        conf_gt = np.zeros((b, n2, n3), np.float32)
+        for i in range(min(n2, n3)):
+            conf_gt[:, i, i] = 1.0
+        return {
+            "desc2d": jnp.asarray(rng.normal(size=(b, n2, C)), jnp.float32),
+            "desc3d": jnp.asarray(rng.normal(size=(b, n3, C)), jnp.float32),
+            "leaf_desc": jnp.asarray(
+                rng.normal(size=(b, n3, L, C)), jnp.float32
+            ),
+            "mask2d": jnp.ones((b, n2), bool),
+            "mask3d": jnp.ones((b, n3), bool),
+            "leaf_mask": jnp.ones((b, n3, L), bool),
+            "conf_gt": jnp.asarray(conf_gt),
+        }
+
+    def test_focal_loss_basics(self):
+        conf = jnp.array([[[0.9, 0.1], [0.2, 0.8]]])
+        target = jnp.array([[[1.0, 0.0], [0.0, 1.0]]])
+        good = float(focal_loss(conf, target))
+        bad = float(focal_loss(1.0 - conf, target))
+        assert good < bad
+        assert np.isfinite(good)
+        # Extreme confidences stay finite (clipping).
+        assert np.isfinite(
+            float(focal_loss(jnp.zeros((1, 2, 2)), target))
+        )
+
+    def test_train_step_descends(self):
+        rng = np.random.default_rng(2)
+        batch = self._batch(rng)
+        model = GATsSPG(num_blocks=1)
+        cfg = TrainConfig(steps_per_epoch=100)
+        state = create_train_state(jax.random.PRNGKey(0), model, cfg, batch)
+        step = jax.jit(make_train_step(model, cfg))
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+        assert np.all(np.isfinite(losses))
+
+    def test_train_step_sharded_matches_single(self):
+        """The same step on a (4, 2) mesh with dp + points sharding must
+        produce the same loss as the unsharded run."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from onepose_tpu.parallel.mesh import (
+            make_mesh,
+            DATA_AXIS,
+            POINTS_AXIS,
+        )
+
+        rng = np.random.default_rng(3)
+        batch = self._batch(rng, b=4, n3=16)
+        model = GATsSPG(num_blocks=1)
+        cfg = TrainConfig(steps_per_epoch=100)
+        state = create_train_state(jax.random.PRNGKey(0), model, cfg, batch)
+        step_fn = make_train_step(model, cfg)
+
+        _, metrics_ref = jax.jit(step_fn)(state, batch)
+
+        mesh = make_mesh(n_points=2)
+
+        def spec_for(name):
+            if name in ("desc3d", "mask3d", "leaf_desc", "leaf_mask"):
+                return P(DATA_AXIS, POINTS_AXIS)
+            if name == "conf_gt":
+                return P(DATA_AXIS, None, POINTS_AXIS)
+            return P(DATA_AXIS)
+
+        batch_sh = {
+            k: jax.device_put(v, NamedSharding(mesh, spec_for(k)))
+            for k, v in batch.items()
+        }
+        repl = NamedSharding(mesh, P())
+        state_sh = jax.device_put(state, jax.tree.map(lambda _: repl, state))
+        step = jax.jit(step_fn)
+        _, metrics = step(state_sh, batch_sh)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(metrics_ref["loss"]), rtol=1e-5
+        )
