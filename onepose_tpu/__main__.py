@@ -1,0 +1,37 @@
+"""CLI dispatcher: `python -m onepose_tpu <command> [--config X] [K=V ...]`.
+
+Commands mirror the reference entry points (SURVEY.md §3):
+  map         run.py sfm pipeline (object mapping)
+  train       train.py (GATsSPG training)
+  infer       inference.py (GT-box evaluation)
+  parse-scan  parse_scanned_data.py
+  video2img   video2img.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from onepose_tpu.config import load_config
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="onepose_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    from onepose_tpu.cli import infer, map_object, parse_scan_cmd, train_cmd
+
+    map_object.add_parser(sub)
+    infer.add_parser(sub)
+    train_cmd.add_parser(sub)
+    parse_scan_cmd.add_parser(sub)
+
+    args = parser.parse_args(argv)
+    cfg = load_config(args._defaults, args.config, args.overrides)
+    args._run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""Shared CLI plumbing: model loading, feature extraction over sequences."""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.data import paths as path_utils
+from onepose_tpu.models import GATsSPG, SuperPoint
+from onepose_tpu.models.superpoint import extract_keypoints
+
+
+def load_superpoint_params(
+    model: SuperPoint, weights: Optional[str], key=None
+):
+    """Load SuperPoint params from a torch .pth (converted) or a msgpack
+    checkpoint; random init when weights is None (smoke/bench mode)."""
+    if weights is None:
+        key = key or jax.random.PRNGKey(0)
+        return model.init(key, jnp.zeros((1, 64, 64, 1), jnp.float32))
+    if weights.endswith((".pth", ".tar", ".pt", ".ckpt")):
+        import torch
+
+        from onepose_tpu.models.convert import superpoint_from_torch
+
+        sd = torch.load(weights, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        return superpoint_from_torch(sd)
+    from onepose_tpu.utils.checkpoint import load_checkpoint
+
+    key = key or jax.random.PRNGKey(0)
+    example = model.init(key, jnp.zeros((1, 64, 64, 1), jnp.float32))
+    return load_checkpoint(weights, example)
+
+
+def load_matcher_params(
+    model: GATsSPG, weights: Optional[str], key=None, shapes=(16, 8, 4, 256)
+):
+    n2, n3, L, C = shapes
+    key = key or jax.random.PRNGKey(0)
+    example = model.init(
+        key,
+        jnp.zeros((1, n2, C), jnp.float32),
+        jnp.zeros((1, n3, C), jnp.float32),
+        jnp.zeros((1, n3, L, C), jnp.float32),
+        jnp.ones((1, n2), bool),
+        jnp.ones((1, n3), bool),
+        jnp.ones((1, n3, L), bool),
+    )
+    if weights is None:
+        return example
+    if weights.endswith((".pth", ".tar", ".pt", ".ckpt")):
+        import torch
+
+        from onepose_tpu.models.convert import gats_spg_from_torch
+
+        sd = torch.load(weights, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        return gats_spg_from_torch(sd)
+    from onepose_tpu.utils.checkpoint import load_checkpoint
+
+    return load_checkpoint(weights, example)
+
+
+def extract_sequence_features(
+    seq_root: str,
+    sp_params,
+    model: SuperPoint,
+    max_keypoints: int = 1024,
+    keypoint_threshold: float = 0.005,
+    det_type: str = "GT_box",
+    batch: int = 8,
+) -> dict:
+    """Run SuperPoint over a sequence directory; returns stacked arrays
+    keypoints [F, N, 2], descriptors [F, N, C], scores [F, N],
+    mask [F, N], K [F, 3, 3], poses [F, 4, 4], image_paths."""
+    img_paths = path_utils.list_color_images(seq_root, det_type)
+    if not img_paths:
+        raise FileNotFoundError(f"no images under {seq_root}")
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+
+    feats, Ks, poses = [], [], []
+    imgs_buf = []
+    metas = []
+    for p in img_paths:
+        img, K, pose = path_utils.load_frame(p, det_type)
+        imgs_buf.append(img)
+        Ks.append(K)
+        poses.append(pose)
+
+    h, w = imgs_buf[0].shape
+    all_out = []
+    for s in range(0, len(imgs_buf), batch):
+        chunk = imgs_buf[s : s + batch]
+        x = jnp.asarray(np.stack(chunk))[..., None]
+        dense = fwd(sp_params, x)
+        out = extract_keypoints(
+            dense["score_map"],
+            dense["descriptor_map"],
+            max_keypoints=max_keypoints,
+            keypoint_threshold=keypoint_threshold,
+        )
+        all_out.append(jax.tree.map(np.asarray, out))
+    stacked = {
+        k: np.concatenate([o[k] for o in all_out], axis=0)
+        for k in all_out[0]
+    }
+    return {
+        "keypoints": stacked["keypoints"],
+        "descriptors": stacked["descriptors"],
+        "scores": stacked["scores"],
+        "mask": stacked["mask"],
+        "K": np.stack(Ks),
+        "poses": np.stack(poses),
+        "image_paths": img_paths,
+        "image_hw": (h, w),
+    }

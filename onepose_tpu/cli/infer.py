@@ -1,0 +1,98 @@
+"""`infer` command: GT-box evaluation inference over a sequence.
+
+Reference equivalent: `python inference.py +experiment=test_GATsSPG`
+(inference.py:97-182). Per frame-batch: SuperPoint on the crop, GATsSPG
+against the object annotation, RANSAC PnP, cm-deg evaluation — all fused
+on device via PosePipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+DEFAULTS = {
+    "data_dir": None,  # sequence root with color/, poses_ba/, intrin_ba/
+    "anno_dir": None,  # anno npz dir (defaults to ../outputs/anno)
+    "weights": {"superpoint": None, "matcher": None},
+    "max_keypoints": 1000,
+    "shape3d": 2000,
+    "num_leaf": 8,
+    "batch": 8,
+    "det_type": "GT_box",
+    "eval_out": None,
+    "seq_name": "seq",
+}
+
+
+def run(cfg: dict) -> dict:
+    from onepose_tpu.cli.common import (
+        load_matcher_params,
+        load_superpoint_params,
+    )
+    from onepose_tpu.data import paths as path_utils
+    from onepose_tpu.data.anno_io import annotation_from_npz_dir
+    from onepose_tpu.eval import Evaluator, record_eval_result
+    from onepose_tpu.models import GATsSPG, SuperPoint
+    from onepose_tpu.runtime.pipeline import PosePipeline
+
+    data_dir = cfg["data_dir"]
+    assert data_dir, "infer: data_dir is required"
+    anno_dir = cfg["anno_dir"] or osp.join(
+        osp.dirname(data_dir), "outputs", "anno"
+    )
+    anno = annotation_from_npz_dir(
+        anno_dir, num_leaf=cfg["num_leaf"], shape3d=cfg["shape3d"]
+    )
+
+    sp = SuperPoint()
+    matcher = GATsSPG()
+    sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
+    m_params = load_matcher_params(matcher, cfg["weights"]["matcher"])
+    pipe = PosePipeline(sp, matcher, max_keypoints=cfg["max_keypoints"])
+
+    img_paths = path_utils.list_color_images(data_dir, cfg["det_type"])
+    ev = Evaluator()
+    B = cfg["batch"]
+    n_frames = 0
+    for s in range(0, len(img_paths), B):
+        chunk = img_paths[s : s + B]
+        imgs, Ks, poses = [], [], []
+        for p in chunk:
+            img, K, pose = path_utils.load_frame(p, cfg["det_type"])
+            imgs.append(img)
+            Ks.append(K)
+            poses.append(pose)
+        pad = B - len(chunk)
+        if pad:
+            imgs += [imgs[-1]] * pad
+            Ks += [Ks[-1]] * pad
+            poses += [poses[-1]] * pad
+        out = pipe(
+            sp_params, m_params,
+            jnp.asarray(np.stack(imgs))[..., None],
+            jnp.asarray(np.stack(Ks)),
+            anno,
+            jax.random.PRNGKey(s),
+        )
+        pose_pred = np.asarray(out["pose"])[: len(chunk)]
+        ev.evaluate(pose_pred, np.stack(poses)[: len(chunk)])
+        n_frames += len(chunk)
+
+    metrics = ev.summarize()
+    metrics["num_frames"] = n_frames
+    if cfg["eval_out"]:
+        record_eval_result(cfg["eval_out"], cfg["seq_name"], metrics)
+    print(json.dumps(metrics))
+    return metrics
+
+
+def add_parser(subparsers):
+    p = subparsers.add_parser("infer", help="GT-box evaluation inference")
+    p.add_argument("--config", default=None)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(_defaults=DEFAULTS, _run=run)

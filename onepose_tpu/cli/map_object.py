@@ -1,0 +1,187 @@
+"""`map` command: build an object's sparse map + annotations.
+
+The reference equivalent is `python run.py +preprocess=sfm_spp_spg_*`
+(run.py:96-249). Steps: SuperPoint over the mapping frames -> covis pairs
+-> pair matching (SuperGlue-class or mutual-NN) -> verification/tracks/
+triangulation/filtering/aggregation (sfm.mapping) -> anno npz + COLMAP
+model export + PLY + stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import jax.numpy as jnp
+
+DEFAULTS = {
+    "data_dir": None,  # sequence root (color/, poses_ba/, intrin_ba/)
+    "out_dir": None,  # defaults to <data_dir>/../outputs
+    "weights": {"superpoint": None, "superglue": None},
+    "matcher": "nn",  # 'nn' | 'superglue'
+    "max_keypoints": 1024,
+    "keypoint_threshold": 0.005,
+    "num_covis": 10,
+    "max_points3d": 2500,
+    "num_leaf": 8,
+    "det_type": "GT_box",
+}
+
+
+def run(cfg: dict) -> dict:
+    from onepose_tpu.cli.common import (
+        extract_sequence_features,
+        load_superpoint_params,
+    )
+    from onepose_tpu.data import paths as path_utils
+    from onepose_tpu.data.anno_io import (
+        save_anno2d,
+        save_annotation_npz,
+        write_anno_index,
+    )
+    from onepose_tpu.data.colmap_io import export_ply
+    from onepose_tpu.models import SuperPoint
+    from onepose_tpu.models.nn_matcher import mutual_nn_match
+    from onepose_tpu.sfm.mapping import MappingConfig, run_mapping
+
+    data_dir = cfg["data_dir"]
+    assert data_dir, "map: data_dir is required"
+    out_dir = cfg["out_dir"] or osp.join(osp.dirname(data_dir), "outputs")
+
+    sp = SuperPoint()
+    sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
+    feats = extract_sequence_features(
+        data_dir, sp_params, sp,
+        max_keypoints=cfg["max_keypoints"],
+        keypoint_threshold=cfg["keypoint_threshold"],
+        det_type=cfg["det_type"],
+    )
+
+    if cfg["matcher"] == "nn":
+
+        def match_pairs(pairs):
+            out = []
+            for i, j in pairs:
+                m = mutual_nn_match(
+                    jnp.asarray(feats["descriptors"][i]),
+                    jnp.asarray(feats["descriptors"][j]),
+                    jnp.asarray(feats["mask"][i]),
+                    jnp.asarray(feats["mask"][j]),
+                    distance_thresh=0.7,
+                )
+                out.append(np.asarray(m["matches0"]))
+            return np.stack(out)
+
+    else:
+        from onepose_tpu.cli.common import load_matcher_params  # noqa: F401
+        from onepose_tpu.models import SuperGlue
+        from onepose_tpu.models.convert import superglue_from_torch
+        import jax
+
+        sg = SuperGlue()
+        w = cfg["weights"]["superglue"]
+        if w and w.endswith((".pth", ".tar", ".pt")):
+            import torch
+
+            sd = torch.load(w, map_location="cpu")
+            sg_params = superglue_from_torch(sd.get("state_dict", sd))
+        else:
+            n = cfg["max_keypoints"]
+            sg_params = sg.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, n, 2)), jnp.zeros((1, n, 2)),
+                jnp.zeros((1, n, 256)), jnp.zeros((1, n, 256)),
+                jnp.zeros((1, n)), jnp.zeros((1, n)),
+                feats["image_hw"], feats["image_hw"],
+            )
+        sg_apply = jax.jit(
+            lambda p, *a: sg.apply(
+                p, *a, feats["image_hw"], feats["image_hw"]
+            )
+        )
+
+        def match_pairs(pairs):
+            out = []
+            for i, j in pairs:
+                r = sg_apply(
+                    sg_params,
+                    jnp.asarray(feats["keypoints"][i])[None],
+                    jnp.asarray(feats["keypoints"][j])[None],
+                    jnp.asarray(feats["descriptors"][i])[None],
+                    jnp.asarray(feats["descriptors"][j])[None],
+                    jnp.asarray(feats["scores"][i])[None],
+                    jnp.asarray(feats["scores"][j])[None],
+                    jnp.asarray(feats["mask"][i])[None],
+                    jnp.asarray(feats["mask"][j])[None],
+                )
+                out.append(np.asarray(r["matches0"][0]))
+            return np.stack(out)
+
+    box_path = path_utils.box3d_path(osp.dirname(data_dir))
+    box = np.loadtxt(box_path) if osp.exists(box_path) else None
+
+    result = run_mapping(
+        feats["keypoints"], feats["descriptors"], feats["scores"],
+        feats["mask"], feats["K"], feats["poses"],
+        match_pairs,
+        box_corners=box,
+        config=MappingConfig(
+            num_covis=cfg["num_covis"],
+            max_points3d=cfg["max_points3d"],
+            num_leaf=cfg["num_leaf"],
+        ),
+    )
+
+    anno_dir = osp.join(out_dir, "anno")
+    save_annotation_npz(result, anno_dir)
+    export_ply(
+        osp.join(out_dir, "points.ply"), result.points_xyz
+    )
+
+    # Per-image 2D annotations + training index.
+    entries = []
+    for f_idx, am in sorted(result.frame_assign.items()):
+        if am.shape[1] == 0:
+            continue
+        img_file = feats["image_paths"][f_idx]
+        anno_file = osp.join(
+            anno_dir, osp.basename(img_file).rsplit(".", 1)[0] + ".json"
+        )
+        valid = feats["mask"][f_idx]
+        save_anno2d(
+            anno_file,
+            feats["keypoints"][f_idx][valid],
+            feats["descriptors"][f_idx][valid],
+            feats["scores"][f_idx][valid],
+            am,
+        )
+        entries.append(
+            {
+                "anno_id": len(entries) + 1,
+                "anno_file": anno_file,
+                "anno3d_dir": anno_dir,
+                "img_file": img_file,
+                "pose_file": path_utils.gt_pose_path_by_color(
+                    img_file, cfg["det_type"]
+                ),
+                "height": feats["image_hw"][0],
+                "width": feats["image_hw"][1],
+            }
+        )
+    write_anno_index(osp.join(anno_dir, "anno_index.json"), entries)
+
+    stats_path = osp.join(out_dir, "stats.json")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(stats_path, "w") as f:
+        json.dump(result.stats, f, indent=2)
+    print(json.dumps(result.stats))
+    return result.stats
+
+
+def add_parser(subparsers):
+    p = subparsers.add_parser("map", help="build an object map (SfM)")
+    p.add_argument("--config", default=None)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(_defaults=DEFAULTS, _run=run)

@@ -1,0 +1,67 @@
+"""`train` command: GATsSPG matcher training from an annotation index.
+
+Reference equivalent: `python train.py +experiment=train_GATsSPG`
+(train.py:14-101) with the shipped optimization recipe.
+"""
+
+from __future__ import annotations
+
+import json
+
+DEFAULTS = {
+    "anno_index": None,
+    "val_anno_index": None,
+    "run_dir": "runs/train",
+    "num_leaf": 8,
+    "shape2d": 1000,
+    "shape3d": 2000,
+    "batch_size": 8,
+    "max_epochs": 10,
+    "lr": 1e-3,
+    "accumulate": 2,
+    "seed": 12345,
+}
+
+
+def run(cfg: dict) -> dict:
+    import os.path as osp
+
+    from onepose_tpu.data.dataset import GATsSPGDataset
+    from onepose_tpu.models import GATsSPG
+    from onepose_tpu.train.loop import LoopConfig, train
+    from onepose_tpu.train.train_step import TrainConfig
+
+    assert cfg["anno_index"], "train: anno_index is required"
+    ds = GATsSPGDataset(
+        cfg["anno_index"],
+        num_leaf=cfg["num_leaf"],
+        shape2d=cfg["shape2d"],
+        shape3d=cfg["shape3d"],
+        seed=cfg["seed"],
+    )
+    steps_per_epoch = max(len(ds) // cfg["batch_size"], 1)
+    out = train(
+        ds,
+        model=GATsSPG(),
+        train_cfg=TrainConfig(
+            lr=cfg["lr"],
+            accumulate=cfg["accumulate"],
+            steps_per_epoch=steps_per_epoch,
+        ),
+        loop_cfg=LoopConfig(
+            max_epochs=cfg["max_epochs"],
+            batch_size=cfg["batch_size"],
+            ckpt_dir=osp.join(cfg["run_dir"], "ckpt"),
+            metrics_file=osp.join(cfg["run_dir"], "metrics.jsonl"),
+            seed=cfg["seed"],
+        ),
+    )
+    print(json.dumps(out["history"][-1] if out["history"] else {}))
+    return out["history"][-1] if out["history"] else {}
+
+
+def add_parser(subparsers):
+    p = subparsers.add_parser("train", help="train the GATsSPG matcher")
+    p.add_argument("--config", default=None)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(_defaults=DEFAULTS, _run=run)

@@ -70,19 +70,7 @@ def merge_close_points(
     for i, c in enumerate(map(tuple, cells)):
         cell_map.setdefault(c, []).append(i)
 
-    parent = np.arange(n)
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
+    # Candidate pairs: same or adjacent grid cells.
     offsets = np.array(
         [
             (dx, dy, dz)
@@ -91,18 +79,39 @@ def merge_close_points(
             for dz in (-1, 0, 1)
         ]
     )
-    thr2 = dist_threshold * dist_threshold
+    cand_a, cand_b = [], []
     for c, idxs in cell_map.items():
         neigh = []
         for off in offsets:
             neigh.extend(cell_map.get(tuple(np.asarray(c) + off), []))
-        neigh = np.asarray(neigh)
         for i in idxs:
-            d2 = np.sum((points[neigh] - points[i]) ** 2, axis=-1)
-            for j in neigh[d2 < thr2]:
-                union(i, int(j))
+            cand_a.extend([i] * len(neigh))
+            cand_b.extend(neigh)
+    cand_a = np.asarray(cand_a, np.int64)
+    cand_b = np.asarray(cand_b, np.int64)
 
-    roots = np.array([find(i) for i in range(n)])
+    # Native distance-filtered union-find when available
+    # (onepose_tpu/native/union_find.cpp); Python fallback below.
+    from onepose_tpu import native
+
+    roots = native.merge_close(points, cand_a, cand_b, dist_threshold)
+    if roots is None:
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        thr2 = dist_threshold * dist_threshold
+        for a, b in zip(cand_a.tolist(), cand_b.tolist()):
+            d2 = np.sum((points[a] - points[b]) ** 2)
+            if d2 < thr2:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
     merged_points = []
     groups: dict[int, np.ndarray] = {}
     for new_id, r in enumerate(np.unique(roots)):

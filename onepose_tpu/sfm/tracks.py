@@ -44,7 +44,16 @@ class Tracks:
 
 
 def _union_find(n: int, edges_a: np.ndarray, edges_b: np.ndarray) -> np.ndarray:
-    """Vectorized-ish union-find with path halving; returns root labels."""
+    """Union-find with path halving; returns root labels.
+
+    Uses the native C++ core (onepose_tpu/native/union_find.cpp) when
+    available — the Python loop below is the semantic reference/fallback.
+    """
+    from onepose_tpu import native
+
+    labels = native.connected_components(n, edges_a, edges_b)
+    if labels is not None:
+        return labels
     parent = np.arange(n, dtype=np.int64)
 
     def find(x: int) -> int:

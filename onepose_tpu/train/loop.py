@@ -1,0 +1,195 @@
+"""Training loop driver for the GATsSPG matcher.
+
+Mirrors the reference training recipe (train.py +
+configs/experiment/train_GATsSPG.yaml: Adam 1e-3, MultiStepLR [5,10,15,20]
+x0.5, batch 8, accumulate 2, clip 0.5, 10 epochs, focal loss) as an SPMD
+loop: batches are sharded over the mesh's data axis, metrics aggregate on
+device, checkpoints are epoch-indexed. Validation computes REAL pose
+errors (matcher -> RANSAC PnP -> cm-deg recall), matching the reference's
+validation step (GATsSPG_lightning_model.py:53-73).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import os.path as osp
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.eval import Evaluator
+from onepose_tpu.geometry.ransac import ransac_pnp
+from onepose_tpu.models.gats_spg import GATsSPG
+from onepose_tpu.parallel.mesh import make_mesh, shard_batch
+from onepose_tpu.train.train_step import (
+    TrainConfig,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from onepose_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    max_epochs: int = 10
+    batch_size: int = 8
+    log_every: int = 50
+    ckpt_dir: str = "runs/ckpt"
+    metrics_file: str = "runs/metrics.jsonl"
+    resume: bool = True
+    seed: int = 12345
+
+
+def _log(metrics_file: str, record: dict) -> None:
+    os.makedirs(osp.dirname(metrics_file) or ".", exist_ok=True)
+    with open(metrics_file, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def adapt_batch(batch: dict) -> dict:
+    """Dataset batch -> train-step batch naming."""
+    return {
+        "desc2d": batch["desc2d"],
+        "desc3d": batch["desc3d"],
+        "leaf_desc": batch["leaf_desc"],
+        "mask2d": batch["mask2d"],
+        "mask3d": batch["mask3d"],
+        "leaf_mask": batch["leaf_mask"],
+        "conf_gt": batch["conf_gt"],
+    }
+
+
+def train(
+    dataset,
+    model: GATsSPG = None,
+    train_cfg: TrainConfig = None,
+    loop_cfg: LoopConfig = LoopConfig(),
+    batch_iterator_fn: Callable = None,
+    val_fn: Callable = None,
+) -> dict:
+    """Run training; returns {'state': final TrainState, 'history': [...]}.
+
+    dataset: indexable dataset yielding padded items (see data.dataset).
+    batch_iterator_fn(dataset, batch_size, seed) -> iterator of batches.
+    val_fn(state) -> dict of validation metrics (optional).
+    """
+    from onepose_tpu.data.dataset import batch_iterator as default_iter
+
+    model = model or GATsSPG()
+    batch_iterator_fn = batch_iterator_fn or default_iter
+    steps_per_epoch = max(len(dataset) // loop_cfg.batch_size, 1)
+    train_cfg = train_cfg or TrainConfig(steps_per_epoch=steps_per_epoch)
+
+    mesh = make_mesh()
+    example = next(
+        batch_iterator_fn(dataset, loop_cfg.batch_size, seed=0)
+    )
+    example = adapt_batch(example)
+    rng = jax.random.PRNGKey(loop_cfg.seed)
+    state = create_train_state(rng, model, train_cfg, example)
+
+    start_epoch = 0
+    if loop_cfg.resume:
+        ckpt = latest_checkpoint(loop_cfg.ckpt_dir)
+        if ckpt is not None:
+            from onepose_tpu.utils.checkpoint import checkpoint_step
+
+            state = load_checkpoint(ckpt, state)
+            start_epoch = checkpoint_step(ckpt) + 1
+
+    step_fn = jax.jit(make_train_step(model, train_cfg))
+    history = []
+    global_step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, loop_cfg.max_epochs):
+        t0 = time.time()
+        epoch_metrics = []
+        for i, batch in enumerate(
+            batch_iterator_fn(
+                dataset, loop_cfg.batch_size, seed=loop_cfg.seed + epoch
+            )
+        ):
+            batch = shard_batch(mesh, adapt_batch(batch))
+            state, metrics = step_fn(state, batch)
+            global_step += 1
+            if (i + 1) % loop_cfg.log_every == 0 or i == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(epoch=epoch, step=global_step)
+                _log(loop_cfg.metrics_file, m)
+            epoch_metrics.append(metrics)
+
+        mean_loss = float(
+            jnp.mean(jnp.stack([m["loss"] for m in epoch_metrics]))
+        )
+        record = {
+            "epoch": epoch,
+            "train_loss": mean_loss,
+            "epoch_seconds": time.time() - t0,
+        }
+        if val_fn is not None:
+            record.update(val_fn(state))
+        _log(loop_cfg.metrics_file, record)
+        history.append(record)
+        save_checkpoint(loop_cfg.ckpt_dir, state, epoch)
+    return {"state": state, "history": history}
+
+
+def make_pose_val_fn(
+    val_dataset,
+    model: GATsSPG,
+    batch_size: int = 1,
+    n_hyp: int = 256,
+) -> Callable:
+    """Validation that closes the loop to metric pose accuracy: matcher ->
+    mutual matches -> RANSAC PnP -> cm-deg recall (the reference's
+    validation semantics, GATsSPG_lightning_model.py:53-73).
+
+    val_dataset items must include kpts2d, points3d, pose_gt, K.
+    """
+
+    def val_fn(state) -> dict:
+        ev = Evaluator()
+        apply = jax.jit(
+            lambda p, b: model.apply(
+                p,
+                b["desc2d"],
+                b["desc3d"],
+                b["leaf_desc"],
+                b["mask2d"],
+                b["mask3d"],
+                b["leaf_mask"],
+            )
+        )
+        for i in range(len(val_dataset)):
+            item = val_dataset[i]
+            batch = {
+                k: jnp.asarray(v)[None]
+                for k, v in item.items()
+                if k not in ("pose_gt", "K")
+            }
+            out = apply(state.params, batch)
+            idx = jnp.maximum(out["matches0"][0], 0)
+            pts3d = jnp.asarray(item["points3d"])[idx]
+            res = ransac_pnp(
+                jax.random.PRNGKey(i),
+                jnp.asarray(item["kpts2d"]),
+                pts3d,
+                jnp.asarray(item["K"]),
+                out["matches0"][0] >= 0,
+                n_hyp=n_hyp,
+            )
+            ev.evaluate(
+                np.asarray(res["pose"]), np.asarray(item["pose_gt"])
+            )
+        return {f"val_{k}": v for k, v in ev.summarize().items()}
+
+    return val_fn

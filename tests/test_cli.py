@@ -1,0 +1,144 @@
+"""CLI end-to-end tests on a synthetic on-disk sequence.
+
+Builds a real sequence directory (color/, poses_ba/, intrin_ba/,
+box3d_corners.txt) of rendered blob images, then drives
+`python -m onepose_tpu map` and `infer` through the module entry point.
+Random-weight networks: the gates check the plumbing (artifacts, formats,
+metric structure), not learned accuracy.
+"""
+
+import json
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+from onepose_tpu.__main__ import main as cli_main
+from onepose_tpu.config import load_config, get_by_dotted, snapshot_config
+
+
+def build_sequence(tmp_path, rng, n_frames=10, img=128, n_pts=60):
+    cv2 = pytest.importorskip("cv2")
+    obj_root = tmp_path / "obj"
+    seq = obj_root / "seq"
+    for sub in ("color", "poses_ba", "intrin_ba"):
+        (seq / sub).mkdir(parents=True)
+    pts3d = ((rng.random((n_pts, 3)) - 0.5) * 0.2).astype(np.float32)
+    K = np.array(
+        [[200.0, 0, img / 2], [0, 200.0, img / 2], [0, 0, 1]], np.float32
+    )
+    np.savetxt(
+        str(obj_root / "box3d_corners.txt"),
+        np.array(
+            [[x, y, z] for y in (0.15, -0.15) for x, z in
+             [(-0.15, -0.15), (-0.15, 0.15), (0.15, 0.15), (0.15, -0.15)]]
+        ),
+    )
+    phases = rng.random(n_pts) * 6.28
+    sizes = rng.uniform(2.0, 5.0, n_pts)
+    ys, xs = np.mgrid[0:img, 0:img]
+    for f in range(n_frames):
+        ang = 0.5 * f / n_frames * 2 * np.pi
+        center = np.array(
+            [np.cos(ang) * 0.8, np.sin(ang) * 0.8, 0.5]
+        )
+        z = -center / np.linalg.norm(center)
+        x = np.cross([0, 0, 1.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        t = -R @ center
+        pose = np.eye(4)
+        pose[:3, :3] = R
+        pose[:3, 3] = t
+        pc = pts3d @ R.T + t
+        uv = pc @ K.T
+        uv = uv[:, :2] / uv[:, 2:3]
+        image = np.zeros((img, img), np.float32)
+        for p, ph, s in zip(uv, phases, sizes):
+            if 5 < p[0] < img - 5 and 5 < p[1] < img - 5:
+                d2 = (xs - p[0]) ** 2 + (ys - p[1]) ** 2
+                image += (0.4 + 0.6 * np.sin(ph) ** 2) * np.exp(-d2 / s)
+        cv2.imwrite(
+            str(seq / "color" / f"{f}.png"),
+            (np.clip(image, 0, 1) * 255).astype(np.uint8),
+        )
+        np.savetxt(str(seq / "poses_ba" / f"{f}.txt"), pose)
+        np.savetxt(str(seq / "intrin_ba" / f"{f}.txt"), K)
+    return str(seq)
+
+
+class TestConfig:
+    def test_load_and_override(self, tmp_path):
+        defaults = {"a": 1, "nested": {"x": "y"}}
+        cfg = load_config(defaults, None, ["a=5", "nested.x=z", "new.k=[1,2]"])
+        assert cfg["a"] == 5
+        assert cfg["nested"]["x"] == "z"
+        assert get_by_dotted(cfg, "new.k") == [1, 2]
+        # defaults untouched
+        assert defaults["a"] == 1
+
+    def test_yaml_overlay_and_snapshot(self, tmp_path):
+        yaml_file = tmp_path / "c.yaml"
+        yaml_file.write_text("a: 7\nnested:\n  x: file\n")
+        cfg = load_config(
+            {"a": 1, "nested": {"x": "y", "keep": True}},
+            str(yaml_file),
+            ["nested.x=cli"],
+        )
+        assert cfg["a"] == 7
+        assert cfg["nested"]["x"] == "cli"  # CLI beats YAML
+        assert cfg["nested"]["keep"] is True
+        path = snapshot_config(cfg, str(tmp_path / "run"))
+        assert osp.exists(path)
+
+
+class TestMapInferCLI:
+    @pytest.fixture(scope="class")
+    def seq_dir(self, tmp_path_factory):
+        rng = np.random.default_rng(0)
+        return build_sequence(tmp_path_factory.mktemp("data"), rng)
+
+    def test_map_and_infer(self, seq_dir, capsys):
+        out_dir = osp.join(osp.dirname(seq_dir), "outputs")
+        rc = cli_main(
+            [
+                "map",
+                f"data_dir={seq_dir}",
+                f"out_dir={out_dir}",
+                "max_keypoints=256",
+                "num_covis=4",
+                "max_points3d=300",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["num_points3d"] > 10, stats
+        assert stats["mean_reproj_error_px"] < 4.0, stats
+        for artifact in (
+            "anno/anno_3d_average.npz",
+            "anno/anno_3d_collect.npz",
+            "anno/idxs.npy",
+            "anno/anno_index.json",
+            "points.ply",
+            "stats.json",
+        ):
+            assert osp.exists(osp.join(out_dir, artifact)), artifact
+
+        rc = cli_main(
+            [
+                "infer",
+                f"data_dir={seq_dir}",
+                f"anno_dir={osp.join(out_dir, 'anno')}",
+                "max_keypoints=256",
+                "shape3d=300",
+                "batch=4",
+            ]
+        )
+        assert rc == 0
+        metrics = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert metrics["num_frames"] == 10
+        assert set(metrics) >= {"cmd1", "cmd3", "cmd5"}
