@@ -4,6 +4,7 @@ Commands mirror the reference entry points (SURVEY.md §3):
   map         run.py sfm pipeline (object mapping)
   train       train.py (GATsSPG training)
   infer       inference.py (GT-box evaluation)
+  demo        inference_demo.py (detection + tracking video)
   parse-scan  parse_scanned_data.py
   video2img   video2img.py
 """
@@ -20,12 +21,19 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="onepose_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    from onepose_tpu.cli import infer, map_object, parse_scan_cmd, train_cmd
+    from onepose_tpu.cli import (
+        demo,
+        infer,
+        map_object,
+        parse_scan_cmd,
+        train_cmd,
+    )
 
     map_object.add_parser(sub)
     infer.add_parser(sub)
     train_cmd.add_parser(sub)
     parse_scan_cmd.add_parser(sub)
+    demo.add_parser(sub)
 
     args = parser.parse_args(argv)
     cfg = load_config(args._defaults, args.config, args.overrides)

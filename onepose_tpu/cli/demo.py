@@ -1,0 +1,240 @@
+"""`demo` command: full-image video inference with detection + tracking.
+
+Reference equivalent: `python inference_demo.py +experiment=test_demo`
+(inference_demo.py:136-314). Per frame:
+- frame 0 (or after a tracking failure): feature-matching object detection
+  over the reference-view DB;
+- later frames: project the annotated 3D box by the previous pose to get
+  the crop (previous_pose_detect), falling back to re-detection when the
+  PnP inlier count drops below `redetect_inliers` (reference threshold 8,
+  inference_demo.py:204-210);
+- crop -> SuperPoint -> GATsSPG -> RANSAC PnP (the fused PosePipeline);
+- optional BATracker refinement; demo video with the reprojected 3D box.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+DEFAULTS = {
+    "data_dir": None,  # sequence root with color_full/, intrinsics.txt
+    "anno_dir": None,
+    "box_path": None,  # defaults to <data_dir>/../box3d_corners.txt
+    "weights": {"superpoint": None, "matcher": None},
+    "max_keypoints": 1000,
+    "shape3d": 2000,
+    "num_leaf": 8,
+    "n_ref_views": 8,
+    "redetect_inliers": 8,
+    "crop_size": 512,
+    "use_tracking": False,
+    "out_dir": "runs/demo",
+    "make_video": True,
+}
+
+
+def run(cfg: dict) -> dict:
+    import cv2
+    from glob import glob
+
+    from onepose_tpu.cli.common import (
+        extract_sequence_features,
+        load_matcher_params,
+        load_superpoint_params,
+    )
+    from onepose_tpu.data import paths as path_utils
+    from onepose_tpu.data.anno_io import annotation_from_npz_dir
+    from onepose_tpu.detector.feature_detector import (
+        FeatureObjectDetector,
+        ReferenceDB,
+        select_reference_views,
+    )
+    from onepose_tpu.models import GATsSPG, SuperPoint
+    from onepose_tpu.models.nn_matcher import mutual_nn_match
+    from onepose_tpu.models.superpoint import extract_keypoints
+    from onepose_tpu.runtime.pipeline import PosePipeline
+    from onepose_tpu.utils.vis import save_demo_image, make_video
+
+    data_dir = cfg["data_dir"]
+    assert data_dir, "demo: data_dir is required"
+    anno_dir = cfg["anno_dir"] or osp.join(
+        osp.dirname(data_dir), "outputs", "anno"
+    )
+    box_path = cfg["box_path"] or path_utils.box3d_path(
+        osp.dirname(data_dir)
+    )
+    box_corners = np.loadtxt(box_path)
+    anno = annotation_from_npz_dir(
+        anno_dir, num_leaf=cfg["num_leaf"], shape3d=cfg["shape3d"]
+    )
+
+    sp = SuperPoint()
+    matcher = GATsSPG()
+    sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
+    m_params = load_matcher_params(matcher, cfg["weights"]["matcher"])
+    pipe = PosePipeline(sp, matcher, max_keypoints=cfg["max_keypoints"])
+    sp_fwd = jax.jit(lambda p, x: sp.apply(p, x))
+
+    # Reference-view DB from the mapping sequence (crops).
+    db_feats = extract_sequence_features(
+        data_dir, sp_params, sp, max_keypoints=cfg["max_keypoints"]
+    )
+    view_idx = select_reference_views(
+        len(db_feats["image_paths"]), cfg["n_ref_views"]
+    )
+    db = ReferenceDB(
+        keypoints=jnp.asarray(db_feats["keypoints"][view_idx]),
+        descriptors=jnp.asarray(db_feats["descriptors"][view_idx]),
+        scores=jnp.asarray(db_feats["scores"][view_idx]),
+        mask=jnp.asarray(db_feats["mask"][view_idx]),
+        sizes_hw=np.tile(db_feats["image_hw"], (len(view_idx), 1)),
+    )
+
+    def match_fn(db_, query):
+        V = db_.descriptors.shape[0]
+        m = mutual_nn_match(
+            db_.descriptors,
+            jnp.broadcast_to(
+                jnp.asarray(query["descriptors"])[None],
+                (V,) + query["descriptors"].shape,
+            ),
+            db_.mask,
+            jnp.broadcast_to(
+                jnp.asarray(query["mask"])[None], (V,) + query["mask"].shape
+            ),
+            distance_thresh=0.7,
+        )
+        return m["matches0"]
+
+    detector = FeatureObjectDetector(
+        db, match_fn, crop_size=cfg["crop_size"]
+    )
+
+    # Full frames + original intrinsics.
+    full_dir = osp.join(data_dir, "color_full")
+    frame_paths = sorted(
+        glob(osp.join(full_dir, "*.png")),
+        key=lambda p: int(osp.splitext(osp.basename(p))[0])
+        if osp.splitext(osp.basename(p))[0].isdigit()
+        else 0,
+    )
+    assert frame_paths, f"no frames in {full_dir}"
+    intrin_file = path_utils.intrin_full_path(data_dir)
+    if osp.exists(intrin_file):
+        vals = {}
+        for line in open(intrin_file):
+            if ":" in line:
+                k, v = line.split(":")
+                vals[k.strip()] = float(v)
+        K_full = np.array(
+            [
+                [vals["fx"], 0, vals["cx"]],
+                [0, vals["fy"], vals["cy"]],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+    else:
+        # Fall back to the first crop K (detector-style demos).
+        K_full = db_feats["K"][0]
+
+    tracker = None
+    if cfg["use_tracking"]:
+        from onepose_tpu.tracker import BATracker, TrackerConfig
+
+        tracker = BATracker(
+            TrackerConfig(n_kpts=cfg["max_keypoints"])
+        )
+
+    img_out = osp.join(cfg["out_dir"], "frames")
+    os.makedirs(img_out, exist_ok=True)
+    prev_pose = None
+    prev_inliers = 0
+    n_detect, n_track = 0, 0
+    results = []
+    for fi, fp in enumerate(frame_paths):
+        gray = cv2.imread(fp, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+
+        if prev_pose is None or prev_inliers < cfg["redetect_inliers"]:
+            dense = sp_fwd(sp_params, jnp.asarray(gray)[None, ..., None])
+            qf = extract_keypoints(
+                dense["score_map"], dense["descriptor_map"],
+                max_keypoints=cfg["max_keypoints"],
+            )
+            det = detector.detect_bbox(
+                {
+                    "keypoints": np.asarray(qf["keypoints"][0]),
+                    "descriptors": np.asarray(qf["descriptors"][0]),
+                    "scores": np.asarray(qf["scores"][0]),
+                    "mask": np.asarray(qf["mask"][0]),
+                }
+            )
+            bbox = det["bbox"]
+            n_detect += 1
+        else:
+            bbox = detector.previous_pose_detect(
+                K_full, prev_pose, box_corners
+            )
+            n_track += 1
+
+        # Clamp the box to the image and square it.
+        h, w = gray.shape
+        bbox = np.array(
+            [
+                max(bbox[0], 0), max(bbox[1], 0),
+                min(bbox[2], w - 1), min(bbox[3], h - 1),
+            ]
+        )
+        if bbox[2] - bbox[0] < 16 or bbox[3] - bbox[1] < 16:
+            bbox = np.array([0, 0, w - 1, h - 1])
+        crop, K_crop = detector.crop(jnp.asarray(gray), bbox, K_full)
+
+        out = pipe(
+            sp_params, m_params,
+            crop[None, ..., None],
+            jnp.asarray(K_crop, jnp.float32)[None],
+            anno,
+            jax.random.PRNGKey(fi),
+        )
+        pose = np.asarray(out["pose"][0])
+        prev_inliers = int(out["num_inliers"][0])
+        prev_pose = pose if np.isfinite(pose).all() else None
+
+        save_demo_image(
+            (gray * 255).astype(np.uint8),
+            K_full, pose, box_corners,
+            osp.join(img_out, f"{fi}.png"),
+        )
+        results.append(
+            {"frame": fi, "inliers": prev_inliers,
+             "detected": prev_inliers >= cfg["redetect_inliers"]}
+        )
+
+    video_path = None
+    if cfg["make_video"]:
+        video_path = make_video(
+            img_out, osp.join(cfg["out_dir"], "demo.mp4")
+        )
+    summary = {
+        "num_frames": len(frame_paths),
+        "n_detect": n_detect,
+        "n_track": n_track,
+        "video": video_path,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def add_parser(subparsers):
+    p = subparsers.add_parser(
+        "demo", help="full-image video inference with detection"
+    )
+    p.add_argument("--config", default=None)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(_defaults=DEFAULTS, _run=run)

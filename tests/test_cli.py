@@ -22,7 +22,7 @@ def build_sequence(tmp_path, rng, n_frames=10, img=128, n_pts=60):
     cv2 = pytest.importorskip("cv2")
     obj_root = tmp_path / "obj"
     seq = obj_root / "seq"
-    for sub in ("color", "poses_ba", "intrin_ba"):
+    for sub in ("color", "color_full", "poses_ba", "intrin_ba"):
         (seq / sub).mkdir(parents=True)
     pts3d = ((rng.random((n_pts, 3)) - 0.5) * 0.2).astype(np.float32)
     K = np.array(
@@ -60,12 +60,15 @@ def build_sequence(tmp_path, rng, n_frames=10, img=128, n_pts=60):
             if 5 < p[0] < img - 5 and 5 < p[1] < img - 5:
                 d2 = (xs - p[0]) ** 2 + (ys - p[1]) ** 2
                 image += (0.4 + 0.6 * np.sin(ph) ** 2) * np.exp(-d2 / s)
-        cv2.imwrite(
-            str(seq / "color" / f"{f}.png"),
-            (np.clip(image, 0, 1) * 255).astype(np.uint8),
-        )
+        png = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(str(seq / "color" / f"{f}.png"), png)
+        cv2.imwrite(str(seq / "color_full" / f"{f}.png"), png)
         np.savetxt(str(seq / "poses_ba" / f"{f}.txt"), pose)
         np.savetxt(str(seq / "intrin_ba" / f"{f}.txt"), K)
+    with open(str(seq / "intrinsics.txt"), "w") as fh:
+        fh.write(
+            f"fx: {K[0, 0]}\nfy: {K[1, 1]}\ncx: {K[0, 2]}\ncy: {K[1, 2]}"
+        )
     return str(seq)
 
 
@@ -142,3 +145,35 @@ class TestMapInferCLI:
         )
         assert metrics["num_frames"] == 10
         assert set(metrics) >= {"cmd1", "cmd3", "cmd5"}
+
+    def test_demo(self, seq_dir, tmp_path, capsys):
+        out_root = osp.join(osp.dirname(seq_dir), "outputs")
+        if not osp.exists(osp.join(out_root, "anno")):
+            cli_main(
+                [
+                    "map", f"data_dir={seq_dir}", f"out_dir={out_root}",
+                    "max_keypoints=256", "num_covis=4", "max_points3d=300",
+                ]
+            )
+            capsys.readouterr()
+        demo_dir = str(tmp_path / "demo")
+        rc = cli_main(
+            [
+                "demo",
+                f"data_dir={seq_dir}",
+                f"anno_dir={osp.join(out_root, 'anno')}",
+                f"out_dir={demo_dir}",
+                "max_keypoints=256",
+                "shape3d=300",
+                "n_ref_views=4",
+                "make_video=true",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["num_frames"] == 10
+        assert osp.exists(osp.join(demo_dir, "frames", "0.png"))
+        if summary["video"]:
+            assert osp.exists(summary["video"])
