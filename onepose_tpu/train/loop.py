@@ -90,7 +90,13 @@ def train(
     steps_per_epoch = max(len(dataset) // loop_cfg.batch_size, 1)
     train_cfg = train_cfg or TrainConfig(steps_per_epoch=steps_per_epoch)
 
-    mesh = make_mesh()
+    # Data axis must divide the batch: use the largest divisor of
+    # batch_size that fits the device count (single chip -> 1).
+    n_dev = jax.device_count()
+    n_data = max(
+        d for d in range(1, n_dev + 1) if loop_cfg.batch_size % d == 0
+    )
+    mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     example = next(
         batch_iterator_fn(dataset, loop_cfg.batch_size, seed=0)
     )

@@ -177,3 +177,34 @@ class TestMapInferCLI:
         assert osp.exists(osp.join(demo_dir, "frames", "0.png"))
         if summary["video"]:
             assert osp.exists(summary["video"])
+
+    def test_train_cmd(self, seq_dir, tmp_path, capsys):
+        out_root = osp.join(osp.dirname(seq_dir), "outputs")
+        if not osp.exists(osp.join(out_root, "anno", "anno_index.json")):
+            cli_main(
+                [
+                    "map", f"data_dir={seq_dir}", f"out_dir={out_root}",
+                    "max_keypoints=256", "num_covis=4", "max_points3d=300",
+                ]
+            )
+            capsys.readouterr()
+        run_dir = str(tmp_path / "train_run")
+        rc = cli_main(
+            [
+                "train",
+                f"anno_index={osp.join(out_root, 'anno', 'anno_index.json')}",
+                f"run_dir={run_dir}",
+                "shape2d=256",
+                "shape3d=300",
+                "num_leaf=4",
+                "batch_size=2",
+                "max_epochs=2",
+            ]
+        )
+        assert rc == 0
+        record = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert np.isfinite(record["train_loss"])
+        assert osp.exists(osp.join(run_dir, "ckpt", "ckpt_1.msgpack"))
+        assert osp.exists(osp.join(run_dir, "metrics.jsonl"))
