@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from onepose_tpu.geometry.epnp import epnp_solve
+from onepose_tpu.geometry.p3p import p3p_solve
 from onepose_tpu.geometry.rotations import (
     angle_axis_to_rotmat,
     rotmat_to_angle_axis,
@@ -83,7 +84,8 @@ def ransac_pnp(
       key: PRNG key for hypothesis sampling.
       pts2d: [N, 2]; pts3d: [N, 3]; K: [3, 3]; mask: [N] valid matches.
       reproj_threshold: inlier threshold in pixels (reference uses 5).
-      n_hyp: number of minimal 4-point hypotheses scored in parallel.
+      n_hyp: number of minimal 3-point P3P samples; each yields up to 4
+        candidate poses, all scored in parallel.
       scale: internal metric scale (reference multiplies points by 1000 —
         mm-scale conditioning for EPnP); results are returned unscaled.
     Returns:
@@ -93,12 +95,18 @@ def ransac_pnp(
     pts2d = pts2d.astype(dtype)
     pts3d_s = pts3d.astype(dtype) * scale
 
-    idx = _sample_minimal_sets(key, mask, n_hyp)  # [H, 4]
+    # Minimal hypotheses via closed-form P3P (pure elementwise math, no
+    # decompositions — the EPnP eigen route is ~30x slower on TPU); each
+    # 3-point sample yields up to 4 candidate poses, all scored.
+    idx = _sample_minimal_sets(key, mask, n_hyp, k=3)  # [H, 3]
 
     def solve_one(ids):
-        return epnp_solve(pts3d_s[ids], pts2d[ids], K, jnp.ones(4, bool))
+        return p3p_solve(pts3d_s[ids], pts2d[ids], K)
 
-    Rs, ts, oks = jax.vmap(solve_one)(idx)
+    Rs, ts, oks = jax.vmap(solve_one)(idx)  # [H, 4, ...]
+    Rs = Rs.reshape(-1, 3, 3)
+    ts = ts.reshape(-1, 3)
+    oks = oks.reshape(-1)
 
     errs = jax.vmap(lambda R, t: _reproj_err(R, t, K, pts3d_s, pts2d))(Rs, ts)
     inl = (errs < reproj_threshold) & mask[None, :]

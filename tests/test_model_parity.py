@@ -226,3 +226,21 @@ def test_masked_matches_exclude_padding():
     m1 = np.asarray(out["matches1"][0])
     assert np.all(m1[10:] == -1)
     assert np.all(m1 < 20)
+
+
+def test_two_stage_top_k_lossless():
+    """Two-stage block top-k must equal the flat top-k on NMS'd maps."""
+    import jax
+    from onepose_tpu.models.superpoint import simple_nms, _two_stage_top_k
+
+    rng = np.random.default_rng(0)
+    maps = jnp.asarray(rng.random((2, 128, 128)).astype(np.float32))
+    nmsd = simple_nms(maps, 4)
+    gated = jnp.where(nmsd > 0.005, nmsd, 0.0)
+    v2, i2 = _two_stage_top_k(gated, 256)
+    vf, if_ = jax.lax.top_k(gated.reshape(2, -1), 256)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(vf), atol=0)
+    # Indices may differ only where scores tie; require same score sets.
+    np.testing.assert_allclose(
+        np.sort(np.asarray(v2), axis=-1), np.sort(np.asarray(vf), axis=-1)
+    )
