@@ -178,13 +178,8 @@ def sharded_dual_softmax(
         s = jnp.where(m3[:, None, :], s, NEG_INF)
         # Softmax over N2 (local axis).
         sm1 = jax.nn.softmax(s, axis=1)
-        # Softmax over sharded N3: global max + global expsum via psum.
-        mx = jax.lax.psum(
-            jnp.zeros_like(s[..., :1])
-            + jnp.max(s, axis=2, keepdims=True)
-            / jax.lax.axis_size(POINTS_AXIS),
-            POINTS_AXIS,
-        ) * 0.0 + jax.lax.pmax(
+        # Softmax over sharded N3: global max (pmax) + global expsum (psum).
+        mx = jax.lax.pmax(
             jnp.max(s, axis=2, keepdims=True), POINTS_AXIS
         )
         e = jnp.exp(s - mx)
