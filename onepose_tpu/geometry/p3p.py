@@ -51,9 +51,10 @@ def _solve_quartic(c4, c3, c2, c1, c0, iters: int = 40):
     seed = (0.4 + 0.9j) ** jnp.arange(4)
     x = (seed * bound).astype(jnp.complex64)
 
+    eye_c = jnp.eye(4, dtype=jnp.complex64)
+
     def body(x, _):
-        diff = x[:, None] - x[None, :]  # [4, 4]
-        diff = diff.at[jnp.arange(4), jnp.arange(4)].set(1.0 + 0.0j)
+        diff = x[:, None] - x[None, :] + eye_c  # diag 0 -> 1 (no scatter)
         denom = jnp.prod(diff, axis=1)
         denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12 + 0j, denom)
         x = x - p(x) / denom
@@ -62,6 +63,29 @@ def _solve_quartic(c4, c3, c2, c1, c0, iters: int = 40):
     x, _ = jax.lax.scan(body, x, None, length=iters)
     is_real = jnp.abs(x.imag) < 1e-3 * (1.0 + jnp.abs(x.real))
     return x.real.astype(jnp.float32), is_real
+
+
+def _solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """x = A^-1 b for a 3x3 system via the adjugate — branch-free
+    elementwise arithmetic only (no pivoting), safe under vmap."""
+    a00, a01, a02 = A[0, 0], A[0, 1], A[0, 2]
+    a10, a11, a12 = A[1, 0], A[1, 1], A[1, 2]
+    a20, a21, a22 = A[2, 0], A[2, 1], A[2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    x0 = (c00 * b[0] + c10 * b[1] + c20 * b[2]) / det
+    x1 = (c01 * b[0] + c11 * b[1] + c21 * b[2]) / det
+    x2 = (c02 * b[0] + c12 * b[1] + c22 * b[2]) / det
+    return jnp.stack([x0, x1, x2])
 
 
 def p3p_solve(
@@ -165,9 +189,10 @@ def p3p_solve(
                     [0.0, s2_ - s3_ * cos_a, s3_ - s2_ * cos_a],
                 ]
             )
-            ds = jnp.linalg.solve(
-                J + 1e-9 * jnp.eye(3, dtype=J.dtype), -F
-            )
+            # Closed-form 3x3 solve (Cramer / adjugate): pivoted LU is a
+            # scalar-loop slow path on TPU when vmapped over thousands of
+            # hypotheses; the explicit cofactor form is pure VPU math.
+            ds = _solve3x3(J + 1e-9 * jnp.eye(3, dtype=J.dtype), -F)
             return s + ds, None
 
         s_vec, _ = jax.lax.scan(

@@ -24,12 +24,22 @@ from onepose_tpu.geometry.rotations import (
 
 
 def _sample_minimal_sets(key, mask: jnp.ndarray, n_hyp: int, k: int = 4) -> jnp.ndarray:
-    """[n_hyp, k] distinct valid indices via the Gumbel-top-k trick."""
+    """[n_hyp, k] valid indices, sampled uniformly WITH replacement.
+
+    One stable sort compacts the valid indices to the front, then n_hyp*k
+    uniform draws index into them. Collisions within a sample (probability
+    ~k^2/2n) are rejected by the caller — vastly cheaper than per-sample
+    distinct sampling (Gumbel + top_k over [n_hyp, n] measured ~60 ms/batch
+    on v5e; this is <1 ms)."""
     n = mask.shape[0]
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    g = jax.random.gumbel(key, (n_hyp, n)) + logits[None, :]
-    _, idx = jax.lax.top_k(g, k)
-    return idx
+    order = jnp.argsort(~mask)  # stable: valid indices first
+    n_valid = jnp.sum(mask)
+    u = jax.random.uniform(key, (n_hyp, k))
+    r = jnp.minimum(
+        (u * jnp.maximum(n_valid, 1).astype(u.dtype)).astype(jnp.int32),
+        jnp.maximum(n_valid - 1, 0),
+    )
+    return order[r]
 
 
 def _reproj_err(R, t, K, pts3d, pts2d):
@@ -99,6 +109,11 @@ def ransac_pnp(
     # decompositions — the EPnP eigen route is ~30x slower on TPU); each
     # 3-point sample yields up to 4 candidate poses, all scored.
     idx = _sample_minimal_sets(key, mask, n_hyp, k=3)  # [H, 3]
+    distinct = (
+        (idx[:, 0] != idx[:, 1])
+        & (idx[:, 0] != idx[:, 2])
+        & (idx[:, 1] != idx[:, 2])
+    )  # [H]
 
     def solve_one(ids):
         return p3p_solve(pts3d_s[ids], pts2d[ids], K)
@@ -106,7 +121,7 @@ def ransac_pnp(
     Rs, ts, oks = jax.vmap(solve_one)(idx)  # [H, 4, ...]
     Rs = Rs.reshape(-1, 3, 3)
     ts = ts.reshape(-1, 3)
-    oks = oks.reshape(-1)
+    oks = (oks & distinct[:, None]).reshape(-1)
 
     errs = jax.vmap(lambda R, t: _reproj_err(R, t, K, pts3d_s, pts2d))(Rs, ts)
     inl = (errs < reproj_threshold) & mask[None, :]

@@ -55,6 +55,7 @@ def log_sinkhorn(
     mask0: Optional[jnp.ndarray],
     mask1: Optional[jnp.ndarray],
     iters: int,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Masked log-space Sinkhorn with dustbin row/column.
 
@@ -62,6 +63,10 @@ def log_sinkhorn(
     scaled by (m + n) (matching superglue.py:181-210). Masked keypoints get
     -inf marginal mass: they cannot carry transport; real points each carry
     one unit; each dustbin absorbs the opposite side's count.
+
+    use_pallas: run the iteration loop as a VMEM-resident Pallas kernel
+    (default: on TPU backends). The XLA scan path is kept for parity tests
+    and as the differentiable reference.
     """
     b, m, n = scores.shape
     dtype = scores.dtype
@@ -102,15 +107,23 @@ def log_sinkhorn(
         axis=1,
     )  # [B, N+1]
 
-    def body(carry, _):
-        u, v = carry
-        u = log_mu - jax.nn.logsumexp(couplings + v[:, None, :], axis=2)
-        v = log_nu - jax.nn.logsumexp(couplings + u[:, :, None], axis=1)
-        return (u, v), None
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from onepose_tpu.ops.pallas.sinkhorn import sinkhorn_potentials
 
-    u0 = jnp.zeros_like(log_mu)
-    v0 = jnp.zeros_like(log_nu)
-    (u, v), _ = jax.lax.scan(body, (u0, v0), None, length=iters)
+        u, v = sinkhorn_potentials(couplings, log_mu, log_nu, iters)
+    else:
+
+        def body(carry, _):
+            u, v = carry
+            u = log_mu - jax.nn.logsumexp(couplings + v[:, None, :], axis=2)
+            v = log_nu - jax.nn.logsumexp(couplings + u[:, :, None], axis=1)
+            return (u, v), None
+
+        u0 = jnp.zeros_like(log_mu)
+        v0 = jnp.zeros_like(log_nu)
+        (u, v), _ = jax.lax.scan(body, (u0, v0), None, length=iters)
     z = couplings + u[:, :, None] + v[:, None, :]
     return z - norm[:, None, None]
 
@@ -121,6 +134,7 @@ class SuperGlue(nn.Module):
     num_layers: int = 9  # (self, cross) pairs
     keypoint_encoder: tuple = (32, 64, 128, 256)
     sinkhorn_iterations: int = 100
+    sinkhorn_use_pallas: Optional[bool] = None  # None = auto (TPU backend)
     match_threshold: float = 0.2
     dtype: jnp.dtype = jnp.float32
 
@@ -187,7 +201,8 @@ class SuperGlue(nn.Module):
             "bin_score", nn.initializers.ones, ()
         ).astype(self.dtype)
         z = log_sinkhorn(
-            sim, bin_score, mask0, mask1, self.sinkhorn_iterations
+            sim, bin_score, mask0, mask1, self.sinkhorn_iterations,
+            use_pallas=self.sinkhorn_use_pallas,
         )
 
         return extract_matches(
