@@ -5,6 +5,8 @@ Commands mirror the reference entry points (SURVEY.md §3):
   train       train.py (GATsSPG training)
   infer       inference.py (GT-box evaluation)
   demo        inference_demo.py (detection + tracking video)
+  detect      feature_matching_object_detector.py (writes color_det/,
+              intrin_det/)
   parse-scan  parse_scanned_data.py
   video2img   video2img.py
 """
@@ -23,6 +25,7 @@ def main(argv=None) -> int:
 
     from onepose_tpu.cli import (
         demo,
+        detect_cmd,
         infer,
         map_object,
         parse_scan_cmd,
@@ -34,6 +37,7 @@ def main(argv=None) -> int:
     train_cmd.add_parser(sub)
     parse_scan_cmd.add_parser(sub)
     demo.add_parser(sub)
+    detect_cmd.add_parser(sub)
 
     args = parser.parse_args(argv)
     cfg = load_config(args._defaults, args.config, args.overrides)

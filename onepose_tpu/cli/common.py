@@ -66,6 +66,62 @@ def load_matcher_params(
     return load_checkpoint(weights, example)
 
 
+def build_feature_detector(
+    db_seq_root: str,
+    sp_params,
+    sp_model: SuperPoint,
+    n_ref_views: int = 15,
+    max_keypoints: int = 1024,
+    crop_size: int = 512,
+    distance_thresh: float = 0.7,
+):
+    """Build a FeatureObjectDetector whose reference DB is SuperPoint
+    features of views sampled from a mapping sequence (reference
+    local_feature_2D_detector.py:52-74), matched with batched mutual-NN.
+    Returns (detector, db_feats)."""
+    from onepose_tpu.detector.feature_detector import (
+        FeatureObjectDetector,
+        ReferenceDB,
+        select_reference_views,
+    )
+    from onepose_tpu.models.nn_matcher import mutual_nn_match
+
+    db_feats = extract_sequence_features(
+        db_seq_root, sp_params, sp_model, max_keypoints=max_keypoints
+    )
+    view_idx = select_reference_views(
+        len(db_feats["image_paths"]), n_ref_views
+    )
+    db = ReferenceDB(
+        keypoints=jnp.asarray(db_feats["keypoints"][view_idx]),
+        descriptors=jnp.asarray(db_feats["descriptors"][view_idx]),
+        scores=jnp.asarray(db_feats["scores"][view_idx]),
+        mask=jnp.asarray(db_feats["mask"][view_idx]),
+        sizes_hw=np.tile(db_feats["image_hw"], (len(view_idx), 1)),
+    )
+
+    def match_fn(db_, query):
+        V = db_.descriptors.shape[0]
+        m = mutual_nn_match(
+            db_.descriptors,
+            jnp.broadcast_to(
+                jnp.asarray(query["descriptors"])[None],
+                (V,) + query["descriptors"].shape,
+            ),
+            db_.mask,
+            jnp.broadcast_to(
+                jnp.asarray(query["mask"])[None], (V,) + query["mask"].shape
+            ),
+            distance_thresh=distance_thresh,
+        )
+        return m["matches0"]
+
+    return (
+        FeatureObjectDetector(db, match_fn, crop_size=crop_size),
+        db_feats,
+    )
+
+
 def extract_sequence_features(
     seq_root: str,
     sp_params,

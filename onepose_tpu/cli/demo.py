@@ -44,19 +44,13 @@ def run(cfg: dict) -> dict:
     from glob import glob
 
     from onepose_tpu.cli.common import (
-        extract_sequence_features,
+        build_feature_detector,
         load_matcher_params,
         load_superpoint_params,
     )
     from onepose_tpu.data import paths as path_utils
     from onepose_tpu.data.anno_io import annotation_from_npz_dir
-    from onepose_tpu.detector.feature_detector import (
-        FeatureObjectDetector,
-        ReferenceDB,
-        select_reference_views,
-    )
     from onepose_tpu.models import GATsSPG, SuperPoint
-    from onepose_tpu.models.nn_matcher import mutual_nn_match
     from onepose_tpu.models.superpoint import extract_keypoints
     from onepose_tpu.runtime.pipeline import PosePipeline
     from onepose_tpu.utils.vis import save_demo_image, make_video
@@ -82,38 +76,13 @@ def run(cfg: dict) -> dict:
     sp_fwd = jax.jit(lambda p, x: sp.apply(p, x))
 
     # Reference-view DB from the mapping sequence (crops).
-    db_feats = extract_sequence_features(
-        data_dir, sp_params, sp, max_keypoints=cfg["max_keypoints"]
-    )
-    view_idx = select_reference_views(
-        len(db_feats["image_paths"]), cfg["n_ref_views"]
-    )
-    db = ReferenceDB(
-        keypoints=jnp.asarray(db_feats["keypoints"][view_idx]),
-        descriptors=jnp.asarray(db_feats["descriptors"][view_idx]),
-        scores=jnp.asarray(db_feats["scores"][view_idx]),
-        mask=jnp.asarray(db_feats["mask"][view_idx]),
-        sizes_hw=np.tile(db_feats["image_hw"], (len(view_idx), 1)),
-    )
-
-    def match_fn(db_, query):
-        V = db_.descriptors.shape[0]
-        m = mutual_nn_match(
-            db_.descriptors,
-            jnp.broadcast_to(
-                jnp.asarray(query["descriptors"])[None],
-                (V,) + query["descriptors"].shape,
-            ),
-            db_.mask,
-            jnp.broadcast_to(
-                jnp.asarray(query["mask"])[None], (V,) + query["mask"].shape
-            ),
-            distance_thresh=0.7,
-        )
-        return m["matches0"]
-
-    detector = FeatureObjectDetector(
-        db, match_fn, crop_size=cfg["crop_size"]
+    detector, db_feats = build_feature_detector(
+        data_dir,
+        sp_params,
+        sp,
+        n_ref_views=cfg["n_ref_views"],
+        max_keypoints=cfg["max_keypoints"],
+        crop_size=cfg["crop_size"],
     )
 
     # Full frames + original intrinsics.

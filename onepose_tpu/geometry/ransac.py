@@ -23,17 +23,16 @@ from onepose_tpu.geometry.rotations import (
 )
 
 
-def _sample_minimal_sets(key, mask: jnp.ndarray, n_hyp: int, k: int = 4) -> jnp.ndarray:
+def _sample_minimal_sets(
+    key, order: jnp.ndarray, n_valid: jnp.ndarray, n_hyp: int, k: int = 4
+) -> jnp.ndarray:
     """[n_hyp, k] valid indices, sampled uniformly WITH replacement.
 
-    One stable sort compacts the valid indices to the front, then n_hyp*k
-    uniform draws index into them. Collisions within a sample (probability
-    ~k^2/2n) are rejected by the caller — vastly cheaper than per-sample
-    distinct sampling (Gumbel + top_k over [n_hyp, n] measured ~60 ms/batch
-    on v5e; this is <1 ms)."""
-    n = mask.shape[0]
-    order = jnp.argsort(~mask)  # stable: valid indices first
-    n_valid = jnp.sum(mask)
+    `order` lists the valid indices first (mask-compacted); n_hyp*k uniform
+    draws index into the first n_valid of them. Collisions within a sample
+    (probability ~k^2/2n) are rejected by the caller — vastly cheaper than
+    per-sample distinct sampling (Gumbel + top_k over [n_hyp, n] measured
+    ~60 ms/batch on v5e; this is <1 ms)."""
     u = jax.random.uniform(key, (n_hyp, k))
     r = jnp.minimum(
         (u * jnp.maximum(n_valid, 1).astype(u.dtype)).astype(jnp.int32),
@@ -108,7 +107,9 @@ def ransac_pnp(
     # Minimal hypotheses via closed-form P3P (pure elementwise math, no
     # decompositions — the EPnP eigen route is ~30x slower on TPU); each
     # 3-point sample yields up to 4 candidate poses, all scored.
-    idx = _sample_minimal_sets(key, mask, n_hyp, k=3)  # [H, 3]
+    order = jnp.argsort(~mask)  # stable: valid indices first
+    n_valid = jnp.sum(mask)
+    idx = _sample_minimal_sets(key, order, n_valid, n_hyp, k=3)  # [H, 3]
     distinct = (
         (idx[:, 0] != idx[:, 1])
         & (idx[:, 0] != idx[:, 2])
@@ -123,11 +124,30 @@ def ransac_pnp(
     ts = ts.reshape(-1, 3)
     oks = (oks & distinct[:, None]).reshape(-1)
 
-    errs = jax.vmap(lambda R, t: _reproj_err(R, t, K, pts3d_s, pts2d))(Rs, ts)
+    # Preemptive two-stage scoring: rank all 4H candidate poses on a
+    # mask-compacted point subset, then fully score only the survivors —
+    # ~8x less reprojection traffic at identical best-pose selection
+    # quality for realistic inlier fractions.
+    n = pts2d.shape[0]
+    n_sub = min(128, n)
+    n_keep = min(64, 4 * n_hyp)
+    sub_ids = order[:n_sub]
+    sub_valid = jnp.arange(n_sub) < n_valid  # first n_valid are the real ones
+    errs_sub = jax.vmap(
+        lambda R, t: _reproj_err(R, t, K, pts3d_s[sub_ids], pts2d[sub_ids])
+    )(Rs, ts)
+    counts_sub = jnp.sum(
+        (errs_sub < reproj_threshold) & sub_valid[None, :], axis=-1
+    ) * oks.astype(jnp.int32)
+    _, keep = jax.lax.top_k(counts_sub, n_keep)
+
+    errs = jax.vmap(
+        lambda R, t: _reproj_err(R, t, K, pts3d_s, pts2d)
+    )(Rs[keep], ts[keep])
     inl = (errs < reproj_threshold) & mask[None, :]
-    counts = jnp.sum(inl, axis=-1) * oks.astype(jnp.int32)
+    counts = jnp.sum(inl, axis=-1) * oks[keep].astype(jnp.int32)
     best = jnp.argmax(counts)
-    R_best, t_best = Rs[best], ts[best]
+    R_best, t_best = Rs[keep[best]], ts[keep[best]]
     inliers = inl[best]
     n_in = counts[best]
 

@@ -95,7 +95,12 @@ class SuperPoint(nn.Module):
         logits = nn.Conv(
             features=65, kernel_size=(1, 1), dtype=self.dtype, name="convPb"
         )(cpa)
-        probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # [B, h, w, 64]
+        # Head outputs are promoted to fp32: with dtype=bfloat16 the conv
+        # stack rides the MXU at double rate, while score ordering (NMS /
+        # top-k) and descriptor normalization keep full precision.
+        probs = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1
+        )[..., :-1]  # [B, h, w, 64]
         b, h, w, _ = probs.shape
         scores = probs.reshape(b, h, w, 8, 8)
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
@@ -107,6 +112,7 @@ class SuperPoint(nn.Module):
             features=self.descriptor_dim, kernel_size=(1, 1),
             dtype=self.dtype, name="convDb",
         )(cda)
+        desc = desc.astype(jnp.float32)
         desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True)
 
         return {"score_map": scores, "descriptor_map": desc}

@@ -60,16 +60,20 @@ def main():
 
     def sample_only(c, i):
         keys = jax.random.split(jax.random.fold_in(key, i), BATCH)
-        idx = jax.vmap(
-            lambda k, m: _sample_minimal_sets(k, m, 512, k=3)
-        )(keys, mask)
+
+        def one(k, m):
+            order = jnp.argsort(~m)
+            return _sample_minimal_sets(k, order, jnp.sum(m), 512, k=3)
+
+        idx = jax.vmap(one)(keys, mask)
         return jnp.sum(idx).astype(jnp.float32) * 1e-12 + c[0, 0, 0]
 
     def p3p_varying(c, i):
         keys = jax.random.split(jax.random.fold_in(key, i), BATCH)
 
         def per_frame(k, m, p2, p3):
-            idx = _sample_minimal_sets(k, m, 512, k=3)
+            order = jnp.argsort(~m)
+            idx = _sample_minimal_sets(k, order, jnp.sum(m), 512, k=3)
             Rs, ts, oks = jax.vmap(
                 lambda ids: p3p_solve(p3[ids], p2[ids], K)
             )(idx)

@@ -178,6 +178,26 @@ class TestMapInferCLI:
         if summary["video"]:
             assert osp.exists(summary["video"])
 
+    def test_detect(self, seq_dir, capsys):
+        rc = cli_main(
+            [
+                "detect",
+                f"db_dir={seq_dir}",
+                f"query_dir={seq_dir}",
+                "max_keypoints=256",
+                "n_ref_views=4",
+                "crop_size=128",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["num_frames"] == 10
+        assert osp.exists(osp.join(seq_dir, "color_det", "0.png"))
+        K_crop = np.loadtxt(osp.join(seq_dir, "intrin_det", "0.txt"))
+        assert K_crop.shape == (3, 3) and np.isfinite(K_crop).all()
+
     def test_train_cmd(self, seq_dir, tmp_path, capsys):
         out_root = osp.join(osp.dirname(seq_dir), "outputs")
         if not osp.exists(osp.join(out_root, "anno", "anno_index.json")):
