@@ -26,6 +26,7 @@ DEFAULTS = {
     "det_type": "GT_box",
     "eval_out": None,
     "seq_name": "seq",
+    "dump_vis3d": None,  # dir for per-frame 3D dumps (Wis3D-export parity)
 }
 
 
@@ -81,6 +82,22 @@ def run(cfg: dict) -> dict:
         )
         pose_pred = np.asarray(out["pose"])[: len(chunk)]
         ev.evaluate(pose_pred, np.stack(poses)[: len(chunk)])
+        if cfg["dump_vis3d"]:
+            from onepose_tpu.utils.vis import dump_scene_3d
+
+            pts3d_all = np.asarray(anno.points3d)
+            for j, p in enumerate(chunk):
+                m0 = np.asarray(out["matches0"][j])
+                matched = pts3d_all[m0[m0 >= 0]]
+                dump_scene_3d(
+                    cfg["dump_vis3d"],
+                    osp.splitext(osp.basename(p))[0],
+                    pts3d_all,
+                    pose_pred[j],
+                    Ks[j],
+                    kpts2d=np.asarray(out["keypoints"][j]),
+                    matched_pts3d=matched,
+                )
         n_frames += len(chunk)
 
     metrics = ev.summarize()

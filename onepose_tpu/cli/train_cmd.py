@@ -20,6 +20,9 @@ DEFAULTS = {
     "lr": 1e-3,
     "accumulate": 2,
     "seed": 12345,
+    "num_workers": 4,
+    "tensorboard": True,
+    "code_snapshot": True,
 }
 
 
@@ -31,13 +34,33 @@ def run(cfg: dict) -> dict:
     from onepose_tpu.train.loop import LoopConfig, train
     from onepose_tpu.train.train_step import TrainConfig
 
+    from functools import partial
+
+    from onepose_tpu.data.dataset import batch_iterator
+    from onepose_tpu.train.callbacks import (
+        BestCheckpoint,
+        BestMetricTracker,
+        CodeSnapshot,
+        TensorBoardLogger,
+    )
+    from onepose_tpu.utils.seeding import seed_everything
+
     assert cfg["anno_index"], "train: anno_index is required"
+    seed_everything(cfg["seed"])
     ds = GATsSPGDataset(
         cfg["anno_index"],
         num_leaf=cfg["num_leaf"],
         shape2d=cfg["shape2d"],
         shape3d=cfg["shape3d"],
         seed=cfg["seed"],
+    )
+    callbacks = [BestMetricTracker()]
+    if cfg["tensorboard"]:
+        callbacks.append(TensorBoardLogger(osp.join(cfg["run_dir"], "tb")))
+    if cfg["code_snapshot"]:
+        callbacks.append(CodeSnapshot())
+    callbacks.append(
+        BestCheckpoint(osp.join(cfg["run_dir"], "ckpt"), monitor="train_loss")
     )
     steps_per_epoch = max(len(ds) // cfg["batch_size"], 1)
     out = train(
@@ -55,6 +78,10 @@ def run(cfg: dict) -> dict:
             metrics_file=osp.join(cfg["run_dir"], "metrics.jsonl"),
             seed=cfg["seed"],
         ),
+        batch_iterator_fn=partial(
+            batch_iterator, num_workers=cfg["num_workers"]
+        ),
+        callbacks=callbacks,
     )
     print(json.dumps(out["history"][-1] if out["history"] else {}))
     return out["history"][-1] if out["history"] else {}

@@ -139,18 +139,58 @@ def batch_iterator(
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = True,
+    num_workers: int = 0,
 ) -> Iterator[dict]:
-    """Stacked numpy batches (pytrees of [B, ...] arrays)."""
+    """Stacked numpy batches (pytrees of [B, ...] arrays).
+
+    num_workers > 0 assembles batches in a thread pool (the reference
+    trains with a 16-worker torch DataLoader,
+    src/datamodules/GATs_spg_datamodule.py:56-60); item loading is
+    numpy/cv2 IO that releases the GIL, so threads overlap it with the
+    device step without multiprocessing pickling."""
     order = np.arange(len(dataset))
     rng = np.random.default_rng(seed)
     if shuffle:
         rng.shuffle(order)
     end = len(order) - (len(order) % batch_size if drop_last else 0)
-    for s in range(0, end, batch_size):
-        idx = order[s : s + batch_size]
-        if drop_last and len(idx) < batch_size:
-            break
+
+    def assemble(idx):
         items = [dataset[int(i)] for i in idx]
-        yield {
-            k: np.stack([it[k] for it in items]) for k in items[0]
-        }
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    starts = [
+        order[s : s + batch_size]
+        for s in range(0, end, batch_size)
+        if not (drop_last and len(order[s : s + batch_size]) < batch_size)
+    ]
+    if num_workers <= 0:
+        for idx in starts:
+            yield assemble(idx)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        futures = [pool.submit(assemble, idx) for idx in starts]
+        for fut in futures:
+            yield fut.result()
+
+
+def prefetch_to_device(iterator: Iterator[dict], size: int = 2):
+    """Stage upcoming host batches onto the device while the current step
+    runs (the on-device half of DataLoader pipelining)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        queue.append(jax.tree.map(jax.device_put, batch))
+
+    for batch in iterator:
+        put(batch)
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

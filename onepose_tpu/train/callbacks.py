@@ -1,0 +1,210 @@
+"""Training callbacks: observability parity with the reference's callback
+suite (src/callbacks/wandb_callbacks.py:17-234 + PL ModelCheckpoint), built
+on local artifacts instead of a hosted service:
+
+- TensorBoardLogger      <- TB/W&B scalar logging (train_GATsSPG.yaml:95-99)
+- BestMetricTracker      <- LogBestMetricScoresToWandb
+- CodeSnapshot           <- UploadCodeToWandbAsArtifact
+- BestCheckpoint         <- ModelCheckpoint(monitor='val/loss') semantics
+- MatchPRCurve           <- LogF1PrecisionRecallHeatmapToWandb (threshold
+                            sweep of the dual-softmax confidence matrix)
+
+Callbacks receive plain dicts; the loop calls them at epoch end. All are
+no-ops on non-zero processes (multi-host safe).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import zipfile
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+
+
+class Callback:
+    def on_train_start(self, run_dir: str, config: dict) -> None: ...
+
+    def on_epoch_end(self, epoch: int, record: dict, state) -> None: ...
+
+    def on_train_end(self, history: list) -> None: ...
+
+
+def _is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+class TensorBoardLogger(Callback):
+    """Scalar logging to TensorBoard event files (torch.utils.tensorboard
+    backend; degrades to a no-op if unavailable)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._writer = None
+
+    def on_train_start(self, run_dir: str, config: dict) -> None:
+        if not _is_main_process():
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(self.log_dir)
+            self._writer.add_text("config", json.dumps(config, default=str))
+        except Exception:
+            self._writer = None
+
+    def on_epoch_end(self, epoch: int, record: dict, state) -> None:
+        if self._writer is None:
+            return
+        for k, v in record.items():
+            if isinstance(v, (int, float)) and k != "epoch":
+                self._writer.add_scalar(k, v, epoch)
+        self._writer.flush()
+
+    def on_train_end(self, history: list) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+class BestMetricTracker(Callback):
+    """Track the best value of each metric seen so far; write
+    best_metrics.json at every improvement (LogBestMetricScoresToWandb
+    parity, wandb_callbacks.py:205-234)."""
+
+    def __init__(self, run_dir: Optional[str] = None, minimize=("loss",)):
+        self.run_dir = run_dir
+        self.minimize_keys = tuple(minimize)
+        self.best: dict = {}
+
+    def on_train_start(self, run_dir: str, config: dict) -> None:
+        self.run_dir = self.run_dir or run_dir
+
+    def _better(self, key: str, value: float) -> bool:
+        if key not in self.best:
+            return True
+        lo = any(m in key for m in self.minimize_keys)
+        return value < self.best[key] if lo else value > self.best[key]
+
+    def on_epoch_end(self, epoch: int, record: dict, state) -> None:
+        improved = False
+        for k, v in record.items():
+            if isinstance(v, (int, float)) and k != "epoch":
+                if self._better(k, v):
+                    self.best[k] = v
+                    improved = True
+        if improved and _is_main_process() and self.run_dir:
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(osp.join(self.run_dir, "best_metrics.json"), "w") as f:
+                json.dump(self.best, f, indent=1)
+
+
+class CodeSnapshot(Callback):
+    """Zip the onepose_tpu package source into the run directory so every
+    run is reproducible from its artifacts (UploadCodeToWandbAsArtifact
+    parity, wandb_callbacks.py:32-56)."""
+
+    def on_train_start(self, run_dir: str, config: dict) -> None:
+        if not _is_main_process():
+            return
+        import onepose_tpu
+
+        pkg_dir = osp.dirname(onepose_tpu.__file__)
+        os.makedirs(run_dir, exist_ok=True)
+        out = osp.join(run_dir, "code_snapshot.zip")
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        p = osp.join(root, fn)
+                        zf.write(p, osp.relpath(p, osp.dirname(pkg_dir)))
+
+
+class BestCheckpoint(Callback):
+    """Save a `best.msgpack` checkpoint whenever the monitored metric
+    improves (PL ModelCheckpoint monitor semantics,
+    train_GATsSPG.yaml:83-91)."""
+
+    def __init__(self, ckpt_dir: str, monitor: str = "val_loss", mode: str = "min"):
+        self.ckpt_dir = ckpt_dir
+        self.monitor = monitor
+        self.mode = mode
+        self.best_value: Optional[float] = None
+
+    def on_epoch_end(self, epoch: int, record: dict, state) -> None:
+        if self.monitor not in record or not _is_main_process():
+            return
+        v = float(record[self.monitor])
+        better = (
+            self.best_value is None
+            or (v < self.best_value if self.mode == "min" else v > self.best_value)
+        )
+        if better:
+            self.best_value = v
+            from flax import serialization
+
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            path = osp.join(self.ckpt_dir, "best.msgpack")
+            with open(path + ".tmp", "wb") as f:
+                f.write(serialization.to_bytes(state))
+            os.replace(path + ".tmp", path)
+            with open(osp.join(self.ckpt_dir, "best.json"), "w") as f:
+                json.dump({"epoch": epoch, self.monitor: v}, f)
+
+
+def match_pr_curve(
+    conf_matrix: np.ndarray,
+    conf_gt: np.ndarray,
+    thresholds: Sequence[float] = (0.05, 0.1, 0.2, 0.3, 0.5, 0.7),
+) -> dict:
+    """Precision/recall/F1 of thresholded dual-softmax confidences against
+    the GT assignment (F1/PR heatmap parity, wandb_callbacks.py:96-157)."""
+    gt = conf_gt > 0.5
+    out = {"thresholds": list(thresholds), "precision": [], "recall": [], "f1": []}
+    for t in thresholds:
+        pred = conf_matrix > t
+        tp = float(np.sum(pred & gt))
+        p = tp / max(float(np.sum(pred)), 1.0)
+        r = tp / max(float(np.sum(gt)), 1.0)
+        f1 = 2 * p * r / max(p + r, 1e-9)
+        out["precision"].append(p)
+        out["recall"].append(r)
+        out["f1"].append(f1)
+    return out
+
+
+class MatchPRCurve(Callback):
+    """Log the PR sweep on a held-out batch each epoch."""
+
+    def __init__(self, val_batch: dict, model, run_dir: Optional[str] = None):
+        self.batch = val_batch
+        self.model = model
+        self.run_dir = run_dir
+        self._apply = None
+
+    def on_train_start(self, run_dir: str, config: dict) -> None:
+        self.run_dir = self.run_dir or run_dir
+        self._apply = jax.jit(
+            lambda p, b: self.model.apply(
+                p, b["desc2d"], b["desc3d"], b["leaf_desc"],
+                b.get("mask2d"), b.get("mask3d"), b.get("leaf_mask"),
+            )["conf_matrix"]
+        )
+
+    def on_epoch_end(self, epoch: int, record: dict, state) -> None:
+        if not _is_main_process() or self._apply is None:
+            return
+        conf = np.asarray(self._apply(state.params, self.batch))
+        curve = match_pr_curve(conf, np.asarray(self.batch["conf_gt"]))
+        record.update(
+            match_f1=max(curve["f1"]),
+            match_precision=curve["precision"][curve["f1"].index(max(curve["f1"]))],
+        )
+        if self.run_dir:
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(
+                osp.join(self.run_dir, f"pr_curve_epoch{epoch}.json"), "w"
+            ) as f:
+                json.dump(curve, f)

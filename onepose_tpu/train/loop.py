@@ -76,12 +76,15 @@ def train(
     loop_cfg: LoopConfig = LoopConfig(),
     batch_iterator_fn: Callable = None,
     val_fn: Callable = None,
+    callbacks: Optional[list] = None,
 ) -> dict:
     """Run training; returns {'state': final TrainState, 'history': [...]}.
 
     dataset: indexable dataset yielding padded items (see data.dataset).
     batch_iterator_fn(dataset, batch_size, seed) -> iterator of batches.
     val_fn(state) -> dict of validation metrics (optional).
+    callbacks: train.callbacks.Callback list (TensorBoard, best-metric
+    tracking, code snapshot, best checkpoint, PR sweeps).
     """
     from onepose_tpu.data.dataset import batch_iterator as default_iter
 
@@ -113,6 +116,11 @@ def train(
             state = load_checkpoint(ckpt, state)
             start_epoch = checkpoint_step(ckpt) + 1
 
+    callbacks = callbacks or []
+    run_dir = osp.dirname(loop_cfg.metrics_file) or "."
+    for cb in callbacks:
+        cb.on_train_start(run_dir, dataclasses.asdict(loop_cfg))
+
     step_fn = jax.jit(make_train_step(model, train_cfg))
     history = []
     global_step = start_epoch * steps_per_epoch
@@ -143,9 +151,13 @@ def train(
         }
         if val_fn is not None:
             record.update(val_fn(state))
+        for cb in callbacks:
+            cb.on_epoch_end(epoch, record, state)
         _log(loop_cfg.metrics_file, record)
         history.append(record)
         save_checkpoint(loop_cfg.ckpt_dir, state, epoch)
+    for cb in callbacks:
+        cb.on_train_end(history)
     return {"state": state, "history": history}
 
 

@@ -124,6 +124,7 @@ def make_train_step(model: GATsSPG, cfg: TrainConfig):
         (_, metrics), grads = grad_fn(
             state.params, state.apply_fn, batch, cfg
         )
+        metrics["grad_norm"] = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
         return state, metrics
 

@@ -125,6 +125,52 @@ def save_demo_image(
     return out_path
 
 
+def dump_scene_3d(
+    out_dir: str,
+    frame_name: str,
+    points3d: np.ndarray,
+    pose: np.ndarray,
+    K: np.ndarray,
+    kpts2d: np.ndarray | None = None,
+    matched_pts3d: np.ndarray | None = None,
+) -> str:
+    """Per-frame 3D debugging dump (Wis3D-export parity,
+    vis_utils.py:398-433): writes the object point cloud as PLY, the
+    camera pose/intrinsics, and the matched 2D-3D correspondence rays as
+    JSON under <out_dir>/<frame_name>/. Viewable with any point-cloud
+    tool; no hosted viewer dependency."""
+    import json
+
+    frame_dir = osp.join(out_dir, frame_name)
+    os.makedirs(frame_dir, exist_ok=True)
+
+    pts = np.asarray(points3d, np.float32)
+    ply = osp.join(frame_dir, "points.ply")
+    with open(ply, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(pts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n"
+        )
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+    meta = {
+        "pose_w2c": np.asarray(pose, np.float64).tolist(),
+        "K": np.asarray(K, np.float64).tolist(),
+    }
+    if kpts2d is not None:
+        meta["kpts2d"] = np.asarray(kpts2d, np.float64).tolist()
+    if matched_pts3d is not None:
+        meta["matched_pts3d"] = np.asarray(
+            matched_pts3d, np.float64
+        ).tolist()
+    with open(osp.join(frame_dir, "camera.json"), "w") as f:
+        json.dump(meta, f)
+    return frame_dir
+
+
 def make_video(image_dir: str, out_path: str, fps: int = 24) -> str:
     """Assemble numbered frames into a video (vis_utils.py:435-449)."""
     import cv2
