@@ -25,6 +25,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# NOTE on SPMD: the fused Pallas path is a custom call XLA cannot
+# auto-partition; when the 3D-point axis is sharded over a mesh (sequence
+# parallelism), construct the layer with use_pallas=False (the XLA path
+# partitions cleanly) or wrap the kernel in shard_map.
+
 from onepose_tpu.models.common import NEG_INF
 
 
@@ -36,6 +41,7 @@ class GraphAttentionLayer(nn.Module):
     additional: bool = False
     with_linear_transform: bool = False
     concat: bool = True
+    use_pallas: Optional[bool] = None  # None = auto (TPU + shipped config)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,6 +67,30 @@ class GraphAttentionLayer(nn.Module):
         ).astype(self.dtype)
         a_leaf = a[: self.out_features, 0]
         a_self = a[self.out_features :, 0]
+
+        # Fused Pallas path (projection -> logits -> softmax -> aggregate
+        # in VMEM, leaves read once) for the shipped configuration.
+        shipped = (
+            self.include_self
+            and not self.additional
+            and not self.with_linear_transform
+            and self.concat
+            and self.dtype == jnp.float32
+        )
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = shipped and jax.default_backend() == "tpu"
+        if use_pallas and shipped:
+            from onepose_tpu.ops.pallas.gats import gats_leaf_attention
+
+            return gats_leaf_attention(
+                leaf_desc.astype(jnp.float32),
+                desc3d.astype(jnp.float32),
+                leaf_mask,
+                W.astype(jnp.float32),
+                jnp.stack([a_leaf, a_self]).astype(jnp.float32),
+                self.alpha,
+            )
 
         wh_leaf = leaf_desc @ W  # [B, N3, L, C']
         wh_3d = desc3d @ W  # [B, N3, C']

@@ -39,6 +39,7 @@ class GATsSPG(nn.Module):
     include_self: bool = True
     additional: bool = False
     with_linear_transform: bool = False
+    gats_use_pallas: Optional[bool] = None  # None = auto (TPU backend)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,6 +75,7 @@ class GATsSPG(nn.Module):
                 include_self=self.include_self,
                 additional=self.additional,
                 with_linear_transform=self.with_linear_transform,
+                use_pallas=self.gats_use_pallas,
                 dtype=self.dtype,
                 name=f"gats_{blk}",
             )(leaves, x3, leaf_mask)

@@ -7,6 +7,10 @@ import jax.numpy as jnp
 import pytest
 
 from onepose_tpu.models.superglue import log_sinkhorn
+from onepose_tpu.ops.pallas.gats import (
+    gats_leaf_attention,
+    gats_reference_xla,
+)
 
 
 class TestSinkhornKernel:
@@ -51,4 +55,64 @@ class TestSinkhornKernel:
         expected = 1.0 / (ms + n) * (ms + n)  # normalized by norm term
         np.testing.assert_allclose(
             row_mass[np.asarray(mask0[0])], expected, rtol=1e-3
+        )
+
+
+class TestGATsKernel:
+    def _data(self, n3=100, L=4, C=256, b=2, seed=0):
+        rng = np.random.default_rng(seed)
+        leaf = jnp.asarray(rng.normal(size=(b, n3, L, C)), jnp.float32)
+        d3 = jnp.asarray(rng.normal(size=(b, n3, C)), jnp.float32)
+        mask = jnp.asarray(rng.random((b, n3, L)) < 0.8)
+        W = jnp.asarray(rng.normal(size=(C, C)) * 0.06, jnp.float32)
+        a2 = jnp.asarray(rng.normal(size=(2, C)) * 0.06, jnp.float32)
+        return leaf, d3, mask, W, a2
+
+    def test_matches_xla(self):
+        leaf, d3, mask, W, a2 = self._data()
+        out_k = gats_leaf_attention(leaf, d3, mask, W, a2, 0.2)
+        out_r = gats_reference_xla(leaf, d3, mask, W, a2, 0.2)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_r), atol=2e-5
+        )
+
+    def test_matches_module(self):
+        """The flax layer with use_pallas=True equals use_pallas=False."""
+        import jax
+        from onepose_tpu.models.gats import GraphAttentionLayer
+
+        leaf, d3, mask, W, a2 = self._data(n3=60)
+        layer_x = GraphAttentionLayer(use_pallas=False)
+        layer_p = GraphAttentionLayer(use_pallas=True)
+        params = layer_x.init(jax.random.PRNGKey(0), leaf, d3, mask)
+        out_x = layer_x.apply(params, leaf, d3, mask)
+        out_p = layer_p.apply(params, leaf, d3, mask)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), atol=2e-5
+        )
+
+    def test_gradients_match(self):
+        import jax
+
+        leaf, d3, mask, W, a2 = self._data(n3=40, b=1)
+
+        def loss_k(l, d, w, a):
+            return jnp.sum(gats_leaf_attention(l, d, mask, w, a, 0.2) ** 2)
+
+        def loss_r(l, d, w, a):
+            return jnp.sum(gats_reference_xla(l, d, mask, w, a, 0.2) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(leaf, d3, W, a2)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(leaf, d3, W, a2)
+        for a_, b_ in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), atol=1e-3, rtol=1e-3
+            )
+
+    def test_nondivisible_tile_and_no_mask(self):
+        leaf, d3, _, W, a2 = self._data(n3=37, b=1)
+        out_k = gats_leaf_attention(leaf, d3, None, W, a2, 0.2)
+        out_r = gats_reference_xla(leaf, d3, None, W, a2, 0.2)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_r), atol=2e-5
         )
