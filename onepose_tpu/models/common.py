@@ -81,6 +81,8 @@ def masked_instance_norm(
     With mask=None this matches torch InstanceNorm1d(C) on [B, C, N]:
     per-(example, channel) mean/var over all N points, biased variance.
     """
+    dtype = x.dtype
+    x = x.astype(jnp.float32)  # stats in fp32: bf16 variance is garbage
     if mask is None:
         mean = jnp.mean(x, axis=1, keepdims=True)
         var = jnp.var(x, axis=1, keepdims=True)
@@ -89,7 +91,7 @@ def masked_instance_norm(
         n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
         mean = jnp.sum(x * w, axis=1, keepdims=True) / n
         var = jnp.sum(jnp.square(x - mean) * w, axis=1, keepdims=True) / n
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    return ((x - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
 
 
 def masked_softmax_attention(
@@ -175,10 +177,15 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(b, n, head_dim, self.num_heads).transpose(0, 1, 3, 2)
         k = k.reshape(b, m, head_dim, self.num_heads).transpose(0, 1, 3, 2)
         v = v.reshape(b, m, head_dim, self.num_heads).transpose(0, 1, 3, 2)
+        # Attention internals in fp32 (softmax / linear-attention
+        # normalizers lose too much in bf16); the projections above and the
+        # merge below carry the bf16 MXU benefit — they hold the FLOPs.
+        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
         if self.kind == "softmax":
             out = masked_softmax_attention(q, k, v, source_mask)
         else:
             out = masked_linear_attention(q, k, v, source_mask)
+        out = out.astype(self.dtype)
         out = out.transpose(0, 1, 3, 2).reshape(b, n, self.d_model)
         return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(out)
 

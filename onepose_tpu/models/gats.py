@@ -126,7 +126,9 @@ class GraphAttentionLayer(nn.Module):
         )
         if full_mask is not None:
             logits = jnp.where(full_mask, logits, NEG_INF)
-        attn = jax.nn.softmax(logits, axis=-1)  # [B, N3, (1+)L]
+        attn = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).astype(self.dtype)  # [B, N3, (1+)L]
 
         values = values_w if self.with_linear_transform else values_raw
         h_prime = jnp.einsum("bnl,bnlc->bnc", attn, values)

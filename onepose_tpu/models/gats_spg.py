@@ -101,8 +101,10 @@ class GATsSPG(nn.Module):
             x2, x3 = x2 + d2, x3 + d3
 
         proj = nn.Dense(self.d_model, dtype=self.dtype, name="final_proj")
-        m2 = proj(x2)
-        m3 = proj(x3)
+        # Similarity / dual-softmax head in fp32 regardless of the GNN
+        # compute dtype: confidences feed match thresholds directly.
+        m2 = proj(x2).astype(jnp.float32)
+        m3 = proj(x3).astype(jnp.float32)
         m2 = m2 / jnp.maximum(
             jnp.linalg.norm(m2, axis=-1, keepdims=True), 1e-12
         )
