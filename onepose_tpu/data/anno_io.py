@@ -161,3 +161,39 @@ def merge_anno_indices(index_paths: list[str], out_path: str) -> int:
             merged.append(entry)
     write_anno_index(out_path, merged)
     return len(merged)
+
+
+def export_coco_anno(index_path: str, out_path: str) -> dict:
+    """Export an annotation index in the reference's COCO-style layout
+    (run.py:62-93 merge_anno/merge_: images[] + annotations[] arrays with
+    matching ids), so reference-format consumers (pycocotools loaders,
+    GATs_spg_dataset.py:27-36) can read maps built by this framework."""
+    entries = read_anno_index(index_path)
+    images, annotations = [], []
+    for i, e in enumerate(entries):
+        img_id = i + 1
+        images.append(
+            {
+                "id": img_id,
+                "img_file": e["img_file"],
+            }
+        )
+        annotations.append(
+            {
+                "id": e.get("anno_id", img_id),
+                "image_id": img_id,
+                "anno2d_file": e["anno_file"],
+                "avg_anno3d_file": e.get("avg_anno3d_file", ""),
+                "collect_anno3d_file": e.get("collect_anno3d_file", ""),
+                "idxs_file": e.get("idxs_file", ""),
+            }
+        )
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"supercategory": "object", "id": 1, "name": "object"}],
+    }
+    os.makedirs(osp.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(coco, f)
+    return coco

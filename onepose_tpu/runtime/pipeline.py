@@ -168,3 +168,47 @@ class PosePipeline:
         return self._jitted(
             sp_params, matcher_params, images, K, anno, key
         )
+
+    def sharded(self, mesh=None):
+        """SPMD serving: the frame batch sharded over the mesh's data axis
+        (multi-chip throughput / multi-object evaluation — each chip runs
+        the whole per-frame program on its shard of frames; weights and
+        the object annotation are replicated, so the only communication is
+        the initial broadcast).
+
+        Returns fn(sp_params, matcher_params, images, K, anno, key) with
+        the same contract as __call__; the global batch must divide the
+        data-axis size. Build the mesh once and reuse the returned fn —
+        it is jitted with explicit shardings.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from onepose_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        mesh = mesh or make_mesh(n_points=1)
+        repl = NamedSharding(mesh, P())
+
+        def spec(x):
+            if hasattr(x, "ndim") and x.ndim >= 1:
+                return NamedSharding(
+                    mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))
+                )
+            return repl
+
+        def run(sp_params, matcher_params, images, K, anno, key=None):
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            batch_sh = (spec(images), spec(K))
+            fn = jax.jit(
+                self._forward,
+                in_shardings=(
+                    jax.tree.map(lambda _: repl, sp_params),
+                    jax.tree.map(lambda _: repl, matcher_params),
+                    *batch_sh,
+                    jax.tree.map(lambda _: repl, anno),
+                    repl,
+                ),
+            )
+            return fn(sp_params, matcher_params, images, K, anno, key)
+
+        return run

@@ -166,3 +166,80 @@ class TestProfiler:
         assert set(rep) == {"a", "b"}
         assert rep["a"]["count"] == 1
         assert "a:" in tm.pretty()
+
+
+class TestColmapDatabase:
+    def test_roundtrip_and_pair_encoding(self, tmp_path):
+        import numpy as np
+        from onepose_tpu.data.colmap_database import (
+            ColmapDatabase,
+            images_from_pair_id,
+            pair_id_from_images,
+        )
+
+        assert images_from_pair_id(pair_id_from_images(7, 3)) == (3, 7)
+
+        db_path = str(tmp_path / "test.db")
+        kp = np.array([[1.0, 2.0], [10.0, 20.0]], np.float32)
+        m = np.array([[0, 1]], np.uint32)
+        with ColmapDatabase(db_path) as db:
+            cam = db.add_camera(1, 640, 480, np.array([500.0, 500, 320, 240]))
+            i1 = db.add_image("a.png", cam)
+            i2 = db.add_image("b.png", cam)
+            db.add_keypoints(i1, kp)
+            db.add_keypoints(i2, kp + 1)
+            db.add_matches(i2, i1, m)  # reversed order: columns swap
+            db.add_two_view_geometry(i1, i2, m)
+
+        with ColmapDatabase(db_path) as db:
+            np.testing.assert_allclose(db.read_keypoints(i1), kp + 0.5)
+            np.testing.assert_array_equal(
+                db.read_matches(i2, i1), m
+            )
+            np.testing.assert_array_equal(
+                db.read_matches(i1, i2), m[:, ::-1]
+            )
+
+    def test_export_sequence(self, tmp_path):
+        import numpy as np
+        from onepose_tpu.data.colmap_database import (
+            ColmapDatabase,
+            export_sequence_to_db,
+        )
+
+        rng = np.random.default_rng(0)
+        F, N = 3, 10
+        feats = {
+            "keypoints": rng.random((F, N, 2)).astype(np.float32) * 100,
+            "mask": np.ones((F, N), bool),
+            "K": np.tile(np.eye(3, dtype=np.float32) * 100, (F, 1, 1)),
+            "image_paths": [f"/x/{i}.png" for i in range(F)],
+        }
+        pairs = {(0, 1): np.array([[0, 0], [1, 2]], np.uint32)}
+        db_path = str(tmp_path / "seq.db")
+        n = export_sequence_to_db(db_path, feats, pairs, (128, 128))
+        assert n == F
+        with ColmapDatabase(db_path) as db:
+            assert db.read_keypoints(1).shape == (N, 2)
+            assert db.read_matches(1, 2).shape == (2, 2)
+
+
+class TestCocoExport:
+    def test_export(self, tmp_path):
+        from onepose_tpu.data.anno_io import (
+            export_coco_anno,
+            read_anno_index,
+            write_anno_index,
+        )
+
+        idx = str(tmp_path / "index.json")
+        write_anno_index(
+            idx,
+            [
+                {"anno_id": 1, "anno_file": "a.json", "img_file": "a.png"},
+                {"anno_id": 2, "anno_file": "b.json", "img_file": "b.png"},
+            ],
+        )
+        coco = export_coco_anno(idx, str(tmp_path / "coco.json"))
+        assert len(coco["images"]) == 2
+        assert coco["annotations"][0]["image_id"] == coco["images"][0]["id"]

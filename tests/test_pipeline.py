@@ -196,3 +196,65 @@ class TestTraining:
         np.testing.assert_allclose(
             float(metrics["loss"]), float(metrics_ref["loss"]), rtol=1e-5
         )
+
+
+class TestShardedPipeline:
+    def test_sharded_matches_single_device(self):
+        """Data-parallel SPMD serving over the 8-device mesh must produce
+        the same poses as the single-device path (fp32 CPU: exact)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from onepose_tpu.models.gats_spg import GATsSPG
+        from onepose_tpu.models.superpoint import SuperPoint
+        from onepose_tpu.parallel.mesh import make_mesh
+        from onepose_tpu.runtime.pipeline import ObjectAnnotation, PosePipeline
+
+        rng = np.random.default_rng(0)
+        b, img, n3, L = 8, 64, 64, 4
+        sp = SuperPoint()
+        matcher = GATsSPG(num_blocks=1)
+        pipe = PosePipeline(sp, matcher, max_keypoints=64,
+                            ransac_hypotheses=64)
+        images = jnp.asarray(rng.random((b, img, img, 1), np.float32))
+        K = jnp.broadcast_to(
+            jnp.asarray(
+                [[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], jnp.float32
+            ),
+            (b, 3, 3),
+        )
+        anno = ObjectAnnotation(
+            points3d=jnp.asarray(rng.normal(size=(n3, 3)) * 0.1, jnp.float32),
+            desc3d=jnp.asarray(rng.normal(size=(n3, 256)), jnp.float32),
+            leaf_desc=jnp.asarray(
+                rng.normal(size=(n3, L, 256)), jnp.float32
+            ),
+            mask3d=jnp.ones((n3,), bool),
+            leaf_mask=jnp.ones((n3, L), bool),
+        )
+        sp_params = sp.init(jax.random.PRNGKey(0), images[:1])
+        m_params = matcher.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 256), jnp.float32),
+            anno.desc3d[None],
+            anno.leaf_desc[None],
+            jnp.ones((1, 64), bool),
+            anno.mask3d[None],
+            anno.leaf_mask[None],
+        )
+        key = jax.random.PRNGKey(7)
+        out_single = pipe(sp_params, m_params, images, K, anno, key)
+
+        mesh = make_mesh(n_data=8, n_points=1)
+        run = pipe.sharded(mesh)
+        out_sharded = run(sp_params, m_params, images, K, anno, key)
+        np.testing.assert_allclose(
+            np.asarray(out_sharded["pose"]),
+            np.asarray(out_single["pose"]),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sharded["matches0"]),
+            np.asarray(out_single["matches0"]),
+        )
