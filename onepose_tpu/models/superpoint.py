@@ -65,6 +65,7 @@ class SuperPoint(nn.Module):
 
     descriptor_dim: int = 256
     nms_radius: int = 4
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,17 +78,53 @@ class SuperPoint(nn.Module):
             nn.max_pool, window_shape=(2, 2), strides=(2, 2)
         )
         x = image.astype(self.dtype)
-        x = nn.relu(conv(features=64, name="conv1a")(x))
-        x = nn.relu(conv(features=64, name="conv1b")(x))
-        x = pool(x)
-        x = nn.relu(conv(features=64, name="conv2a")(x))
-        x = nn.relu(conv(features=64, name="conv2b")(x))
-        x = pool(x)
-        x = nn.relu(conv(features=128, name="conv3a")(x))
-        x = nn.relu(conv(features=128, name="conv3b")(x))
-        x = pool(x)
-        x = nn.relu(conv(features=128, name="conv4a")(x))
-        x = nn.relu(conv(features=128, name="conv4b")(x))
+
+        # Fused Pallas VGG stages are opt-in only: measured 12x SLOWER
+        # than XLA's conv emitters on v5e (the per-tap fori/switch
+        # serialization starves the MXU; see docs/PERFORMANCE.md). Kept as
+        # tested infrastructure for future tap-batched revisions.
+        use_pallas = bool(self.use_pallas)
+
+        if use_pallas:
+            # Fused conv-conv-pool stages in VMEM (ops/pallas/vgg_stage):
+            # the inter-conv activations (270 MB/batch-8 at 512x512x64)
+            # never touch HBM. The Conv modules are still declared (on a
+            # tiny dummy) so the parameter pytree paths stay identical to
+            # the XLA branch — converted checkpoints load either way.
+            from onepose_tpu.ops.pallas.vgg_stage import vgg_stage
+
+            def conv_params(name, feats, cin):
+                m = conv(features=feats, name=name)
+                _ = m(jnp.zeros((1, 8, 8, cin), self.dtype))
+                return (
+                    m.variables["params"]["kernel"],
+                    m.variables["params"]["bias"],
+                )
+
+            stages = [
+                ("conv1a", "conv1b", 64, 64, True),
+                ("conv2a", "conv2b", 64, 64, True),
+                ("conv3a", "conv3b", 128, 128, True),
+                ("conv4a", "conv4b", 128, 128, False),
+            ]
+            x = x.astype(jnp.float32)
+            for na, nb, fa, fb, do_pool in stages:
+                cin = x.shape[-1]
+                wa, ba = conv_params(na, fa, cin)
+                wb, bb = conv_params(nb, fb, fa)
+                x = vgg_stage(x, wa, ba, wb, bb, do_pool)
+        else:
+            x = nn.relu(conv(features=64, name="conv1a")(x))
+            x = nn.relu(conv(features=64, name="conv1b")(x))
+            x = pool(x)
+            x = nn.relu(conv(features=64, name="conv2a")(x))
+            x = nn.relu(conv(features=64, name="conv2b")(x))
+            x = pool(x)
+            x = nn.relu(conv(features=128, name="conv3a")(x))
+            x = nn.relu(conv(features=128, name="conv3b")(x))
+            x = pool(x)
+            x = nn.relu(conv(features=128, name="conv4a")(x))
+            x = nn.relu(conv(features=128, name="conv4b")(x))
 
         # Detector head: 65 logits per 8x8 cell; softmax; drop the dustbin;
         # depth-to-space back to full resolution.

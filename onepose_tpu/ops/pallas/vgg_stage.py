@@ -1,0 +1,304 @@
+"""Fused conv3x3 -> relu -> conv3x3 -> relu [-> maxpool2x2] Pallas stage.
+
+The SuperPoint encoder is HBM-bound: at 512x512 the 64-channel activations
+between conv1a/conv1b/pool are ~270 MB/batch-8 each and XLA streams every
+one through HBM (measured 9.7 ms/batch-8 dense forward; bf16 compute alone
+buys only 1.13x). This kernel runs a whole VGG stage per ROW BAND in VMEM:
+both convolutions run as 9-tap accumulated matmuls on the MXU and only the
+stage output returns to HBM — the inter-conv activation never leaves the
+chip.
+
+Halo handling: Mosaic's DMA path requires (8, 128)-aligned slices in the
+tiled dims, which overlapping halo windows violate. Instead the input is
+passed TWICE with block-aligned BlockSpecs — an exact th-row main band at
+block index i and a 4-row halo band at block index (i+1)*th/4 — and the
+kernel concatenates them, so the built-in (double-buffered) pipeline does
+all copies. The single-channel image stage keeps columns on the lane dim
+and realizes its taps with pltpu.roll (lane slicing is not allowed).
+
+Matmul taps compute in bf16 with fp32 accumulation; biases/relu/pool in
+fp32. Forward-only by design (SuperPoint is frozen in this framework's
+training recipe, as in the reference GATsSPG_lightning_model.py:21-22); a
+custom VJP recomputes through the XLA reference if gradients are ever
+requested.
+
+Reference architecture: src/models/extractors/SuperPoint/superpoint.py:
+119-156 (conv1a..conv4b, three 2x2 max-pools).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from onepose_tpu.ops.pallas import use_interpret_mode
+
+
+def _roll(x, shift, axis):
+    """Circular shift; pltpu.roll wants non-negative shifts (callers never
+    read the wrapped region)."""
+    shift = shift % x.shape[axis]
+    if use_interpret_mode():
+        return jnp.roll(x, shift, axis)
+    return pltpu.roll(x, shift, axis)
+
+
+def _conv_block(x, w_ref, b_ref, out_h, out_w, dtype):
+    """Valid 3x3 conv on [rows, cols, cin] -> [out_h, out_w, cout] via 9
+    accumulated MXU taps; relu; fp32 result.
+
+    The tap loop is a fori_loop dispatching to 9 static-slice branches:
+    a Python-unrolled loop keeps every tap's im2col patch live at once on
+    the Mosaic stack and blows the 16 MB VMEM budget."""
+    cin = x.shape[-1]
+    cout = w_ref.shape[-1]
+    w = w_ref[:].astype(dtype)  # [3, 3, cin, cout]
+
+    def mk_branch(dy, dx):
+        def br(x_):
+            patch = x_[dy : dy + out_h, dx : dx + out_w, :].reshape(
+                out_h * out_w, cin
+            )
+            return jax.lax.dot_general(
+                patch, w[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return br
+
+    branches = [mk_branch(t // 3, t % 3) for t in range(9)]
+
+    def body(t, acc):
+        return acc + jax.lax.switch(t, branches, x)
+
+    acc = jax.lax.fori_loop(
+        0, 9, body, jnp.zeros((out_h * out_w, cout), jnp.float32)
+    )
+    return jnp.maximum(acc + b_ref[0][None, :], 0.0).reshape(
+        out_h, out_w, cout
+    ).astype(dtype)
+
+
+def _edge_mask(i, th, H, W, rows, cols):
+    """fp32 mask zeroing the conv1 halo ring that falls outside the image
+    (conv2's SAME padding needs true zeros there, not relu(conv1(0)+b))."""
+    gy = i * th - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) - 1
+    return (
+        (gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)
+    ).astype(jnp.float32)
+
+
+def _stage_kernel_multi(
+    main_ref,  # [1, th, W+4, Cin]
+    halo_ref,  # [1, 4, W+4, Cin]
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    out_ref,  # [1, th(/2), W(/2), C2]
+    *, th: int, H: int, W: int, pool: bool, dtype,
+):
+    i = pl.program_id(1)
+    x = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0).astype(dtype)
+    h1, w1n = th + 2, W + 2
+    y = _conv_block(x, w1_ref, b1_ref, h1, w1n, dtype)
+    y = (y * _edge_mask(i, th, H, W, h1, w1n)[..., None].astype(y.dtype)
+         ).astype(dtype)
+    z = _conv_block(y, w2_ref, b2_ref, th, W, dtype)
+    c2 = z.shape[-1]
+    if pool:
+        z = jnp.max(z.reshape(th // 2, 2, W // 2, 2, c2), axis=(1, 3))
+    out_ref[0] = z.astype(out_ref.dtype)
+
+
+def _stage_kernel_image(
+    main_ref,  # [1, th, Wp] single-channel image rows
+    halo_ref,  # [1, 8, Wp]
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    out_ref,
+    *, th: int, H: int, W: int, pool: bool, dtype,
+):
+    i = pl.program_id(1)
+    x2d = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)  # [th+8, Wp]
+    c1 = w1_ref.shape[-1]
+    h1 = th + 2
+
+    # Taps via double roll on the FULL band: a sliced operand would carry
+    # an offset layout, and Mosaic only supports the [:, :, None]
+    # minor-dim broadcast on canonical layouts. fori_loop keeps only one
+    # tap product live at a time (unrolled taps blew the VMEM budget).
+    w9 = w1_ref[:, :, 0, :].reshape(9, c1)
+
+    def tap(t, acc3):
+        dy, dx = t // 3, t % 3
+        patch = _roll(_roll(x2d, -dx, 1), -dy, 0)
+        return acc3 + patch[:, :, None] * jax.lax.dynamic_slice(
+            w9, (t, 0), (1, c1)
+        ).reshape(c1)[None, None, :]
+
+    acc3 = jax.lax.fori_loop(
+        0, 9, tap, jnp.zeros(x2d.shape + (c1,), jnp.float32)
+    )
+    y = jnp.maximum(acc3 + b1_ref[0][None, None, :], 0.0)
+    y = (
+        y * _edge_mask(i, th, H, W, y.shape[0], y.shape[1])[..., None]
+    ).astype(dtype)
+
+    z = _conv_block(y[: h1 + 2], w2_ref, b2_ref, th, W, dtype)
+    c2 = z.shape[-1]
+    if pool:
+        z = jnp.max(z.reshape(th // 2, 2, W // 2, 2, c2), axis=(1, 3))
+    out_ref[0] = z.astype(out_ref.dtype)
+
+
+def _vgg_stage_pallas(
+    x: jnp.ndarray,  # [B, H, W, Cin]
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    pool: bool,
+    tile: int = 16,
+    dtype=jnp.bfloat16,
+    io_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    B, H, W, cin = x.shape
+    c1 = w1.shape[-1]
+    c2 = w2.shape[-1]
+    th = min(tile, H)
+    assert H % th == 0 and th % 8 == 0, (H, th)
+    single = cin == 1
+    oh, ow = (H // 2, W // 2) if pool else (H, W)
+    to_h = th // 2 if pool else th
+    grid = (B, H // th)
+
+    if single:
+        # Width padded to a lane multiple; rows: 2-px top halo, bottom
+        # padded so the final 8-row halo block exists.
+        wp = -(-(W + 4) // 128) * 128
+        hp = H + 2 + 8
+        hp = -(-hp // 8) * 8
+        xp = jnp.zeros((B, hp, wp), x.dtype)
+        xp = jax.lax.dynamic_update_slice(xp, x[..., 0], (0, 2, 2))
+        kernel = partial(
+            _stage_kernel_image, th=th, H=H, W=W, pool=pool, dtype=dtype
+        )
+        main_spec = pl.BlockSpec(
+            (1, th, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+        halo_spec = pl.BlockSpec(
+            (1, 8, wp),
+            lambda b, i: (b, (i + 1) * (th // 8), 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_specs = [
+            pl.BlockSpec(
+                (3, 3, 1, c1), lambda b, i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c1), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, 3, c1, c2), lambda b, i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c2), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+    else:
+        assert th % 4 == 0
+        xp = jnp.pad(x.astype(io_dtype), ((0, 0), (2, 2), (2, 2), (0, 0)))
+        kernel = partial(
+            _stage_kernel_multi, th=th, H=H, W=W, pool=pool, dtype=dtype
+        )
+        main_spec = pl.BlockSpec(
+            (1, th, W + 4, cin),
+            lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        halo_spec = pl.BlockSpec(
+            (1, 4, W + 4, cin),
+            lambda b, i: (b, (i + 1) * (th // 4), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_specs = [
+            pl.BlockSpec(
+                (3, 3, cin, c1), lambda b, i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c1), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, 3, c1, c2), lambda b, i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c2), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, oh, ow, c2), jnp.float32 if single else io_dtype
+        ),
+        grid=grid,
+        in_specs=[main_spec, halo_spec] + w_specs,
+        out_specs=pl.BlockSpec(
+            (1, to_h, ow, c2),
+            lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=use_interpret_mode(),
+    )(xp, xp, w1, b1[None, :], w2, b2[None, :])
+
+
+def vgg_stage_reference_xla(x, w1, b1, w2, b2, pool):
+    """Plain XLA version (used for gradients and parity tests)."""
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w1.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    y = jax.lax.conv_general_dilated(
+        x, w1, (1, 1), "SAME", dimension_numbers=dn
+    )
+    y = jnp.maximum(y + b1, 0.0)
+    z = jax.lax.conv_general_dilated(
+        y, w2, (1, 1), "SAME", dimension_numbers=dn
+    )
+    z = jnp.maximum(z + b2, 0.0)
+    if pool:
+        B, H, W, C = z.shape
+        z = jnp.max(z.reshape(B, H // 2, 2, W // 2, 2, C), axis=(2, 4))
+    return z
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def vgg_stage(x, w1, b1, w2, b2, pool=True, tile=16, dtype=jnp.bfloat16):
+    """Fused VGG stage; see module docstring. x: [B, H, W, Cin]; the
+    multi-channel path reads/writes bf16 activations in HBM."""
+    return _vgg_stage_pallas(x, w1, b1, w2, b2, pool, tile, dtype)
+
+
+def _fwd(x, w1, b1, w2, b2, pool, tile, dtype):
+    return vgg_stage(x, w1, b1, w2, b2, pool, tile, dtype), (
+        x, w1, b1, w2, b2,
+    )
+
+
+def _bwd(pool, tile, dtype, res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: vgg_stage_reference_xla(*a, pool), x, w1, b1, w2, b2
+    )
+    return vjp(g.astype(jnp.float32))
+
+
+vgg_stage.defvjp(_fwd, _bwd)

@@ -116,3 +116,101 @@ class TestGATsKernel:
         np.testing.assert_allclose(
             np.asarray(out_k), np.asarray(out_r), atol=2e-5
         )
+
+
+class TestVggStageKernel:
+    def test_matches_xla(self):
+        import jax
+        from onepose_tpu.ops.pallas.vgg_stage import (
+            vgg_stage,
+            vgg_stage_reference_xla,
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 8)), jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(3, 3, 8, 16)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(16,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(3, 3, 16, 16)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(16,)) * 0.1, jnp.float32)
+        for pool in (True, False):
+            out_k = vgg_stage(x, w1, b1, w2, b2, pool, 16)
+            out_r = vgg_stage_reference_xla(x, w1, b1, w2, b2, pool)
+            # bf16 taps with fp32 accumulation: ~1e-2 absolute slop.
+            np.testing.assert_allclose(
+                np.asarray(out_k), np.asarray(out_r), atol=5e-2, rtol=1e-2
+            )
+
+    def test_superpoint_pallas_path_parity(self):
+        import jax
+        from onepose_tpu.models.superpoint import SuperPoint
+
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.random((1, 64, 64, 1)), jnp.float32)
+        mx = SuperPoint(use_pallas=False)
+        mp = SuperPoint(use_pallas=True)
+        params = mx.init(jax.random.PRNGKey(0), img)
+        # Same parameter pytree must load into both branches.
+        params_p = mp.init(jax.random.PRNGKey(0), img)
+        assert jax.tree.structure(params) == jax.tree.structure(params_p)
+        ox = mx.apply(params, img)
+        op = mp.apply(params, img)
+        # bf16 taps chained over 4 stages: ~2e-2 score slop. What matters
+        # is that keypoint SELECTION and descriptors stay faithful.
+        np.testing.assert_allclose(
+            np.asarray(op["score_map"]),
+            np.asarray(ox["score_map"]),
+            atol=5e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(op["descriptor_map"]),
+            np.asarray(ox["descriptor_map"]),
+            atol=2e-2,
+        )
+        from onepose_tpu.models.superpoint import extract_keypoints
+
+        fx = extract_keypoints(
+            ox["score_map"], ox["descriptor_map"], max_keypoints=64
+        )
+        fp = extract_keypoints(
+            op["score_map"], op["descriptor_map"], max_keypoints=64
+        )
+        sx = {
+            tuple(k)
+            for k, v in zip(
+                np.asarray(fx["keypoints"][0]), np.asarray(fx["mask"][0])
+            )
+            if v
+        }
+        sp_ = {
+            tuple(k)
+            for k, v in zip(
+                np.asarray(fp["keypoints"][0]), np.asarray(fp["mask"][0])
+            )
+            if v
+        }
+        overlap = len(sx & sp_) / max(len(sx), 1)
+        assert overlap > 0.9, overlap
+
+    def test_gradients_via_xla_recompute(self):
+        import jax
+        from onepose_tpu.ops.pallas.vgg_stage import (
+            vgg_stage,
+            vgg_stage_reference_xla,
+        )
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(3, 3, 4, 8)) * 0.1, jnp.float32)
+        b1 = jnp.zeros((8,), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(3, 3, 8, 8)) * 0.1, jnp.float32)
+        b2 = jnp.zeros((8,), jnp.float32)
+        gk = jax.grad(lambda *a: jnp.sum(vgg_stage(*a, True, 8) ** 2),
+                      argnums=(1, 3))(x, w1, b1, w2, b2)
+        gr = jax.grad(
+            lambda *a: jnp.sum(vgg_stage_reference_xla(*a, True) ** 2),
+            argnums=(1, 3),
+        )(x, w1, b1, w2, b2)
+        for a_, b_ in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), atol=5e-2, rtol=5e-2
+            )
