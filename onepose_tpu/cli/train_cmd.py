@@ -65,7 +65,7 @@ def run(cfg: dict) -> dict:
     steps_per_epoch = max(len(ds) // cfg["batch_size"], 1)
     out = train(
         ds,
-        model=GATsSPG(),
+        model=GATsSPG(fused_match=False),
         train_cfg=TrainConfig(
             lr=cfg["lr"],
             accumulate=cfg["accumulate"],

@@ -77,9 +77,11 @@ class GraphAttentionLayer(nn.Module):
             and self.concat
             and self.dtype == jnp.float32
         )
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = shipped and jax.default_backend() == "tpu"
+        # Opt-in only (policy for all Pallas kernels here): isolated wins
+        # can regress the WHOLE fused frame program — custom calls are
+        # scheduling/fusion barriers for XLA. Measure end-to-end before
+        # enabling; see docs/PERFORMANCE.md.
+        use_pallas = bool(self.use_pallas)
         if use_pallas and shipped:
             from onepose_tpu.ops.pallas.gats import gats_leaf_attention
 

@@ -40,6 +40,11 @@ class GATsSPG(nn.Module):
     additional: bool = False
     with_linear_transform: bool = False
     gats_use_pallas: Optional[bool] = None  # None = auto (TPU backend)
+    # Fused dual-softmax + mutual-max head (ops/pallas/dual_softmax): the
+    # conf matrix never touches HBM, so conf_matrix comes back None —
+    # inference-only. None = auto (TPU backend). TRAINING MUST PASS False
+    # (the focal loss consumes conf_matrix).
+    fused_match: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -119,8 +124,27 @@ class GATsSPG(nn.Module):
             scores = jnp.where(mask2d[:, :, None], scores, NEG_INF)
         if mask3d is not None:
             scores = jnp.where(mask3d[:, None, :], scores, NEG_INF)
-        conf = jax.nn.softmax(scores, axis=1) * jax.nn.softmax(scores, axis=2)
 
+        # Opt-in only: isolated the fused head is 1.06x faster, but inside
+        # the whole fused frame program it REGRESSED end-to-end throughput
+        # (439 -> 410 fps) — the custom call blocks XLA from fusing/
+        # scheduling around the head. Measured on v5e; see
+        # docs/PERFORMANCE.md.
+        fused = bool(self.fused_match)
+        if fused:
+            from onepose_tpu.ops.pallas.dual_softmax import (
+                dual_softmax_match,
+            )
+
+            out = dual_softmax_match(scores, self.match_threshold)
+            if mask2d is not None:
+                out["matches0"] = jnp.where(mask2d, out["matches0"], -1)
+            if mask3d is not None:
+                out["matches1"] = jnp.where(mask3d, out["matches1"], -1)
+            out["conf_matrix"] = None
+            return out
+
+        conf = jax.nn.softmax(scores, axis=1) * jax.nn.softmax(scores, axis=2)
         out = match_from_conf(
             conf, self.match_threshold, mask2d=mask2d, mask3d=mask3d
         )

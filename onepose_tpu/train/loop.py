@@ -88,7 +88,7 @@ def train(
     """
     from onepose_tpu.data.dataset import batch_iterator as default_iter
 
-    model = model or GATsSPG()
+    model = model or GATsSPG(fused_match=False)
     batch_iterator_fn = batch_iterator_fn or default_iter
     steps_per_epoch = max(len(dataset) // loop_cfg.batch_size, 1)
     train_cfg = train_cfg or TrainConfig(steps_per_epoch=steps_per_epoch)

@@ -98,6 +98,10 @@ def loss_fn(params, apply_fn, batch, cfg: TrainConfig):
         batch.get("mask3d"),
         batch.get("leaf_mask"),
     )
+    assert out["conf_matrix"] is not None, (
+        "training needs the dense confidence matrix: construct the "
+        "matcher with GATsSPG(fused_match=False)"
+    )
     loss = focal_loss(
         out["conf_matrix"],
         batch["conf_gt"],

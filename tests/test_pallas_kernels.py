@@ -214,3 +214,63 @@ class TestVggStageKernel:
             np.testing.assert_allclose(
                 np.asarray(a_), np.asarray(b_), atol=5e-2, rtol=5e-2
             )
+
+
+class TestDualSoftmaxMatch:
+    def test_matches_xla_path(self):
+        from onepose_tpu.models.gats_spg import match_from_conf
+        from onepose_tpu.ops.pallas.dual_softmax import (
+            NEG_INF,
+            dual_softmax_match,
+        )
+
+        rng = np.random.default_rng(0)
+        b, m, n = 2, 100, 150
+        # Correlated scores so real mutual matches exist.
+        base = rng.normal(size=(b, n, 32))
+        s2 = base[:, :m] + 0.1 * rng.normal(size=(b, m, 32))
+        scores = np.einsum("bmc,bnc->bmn", s2, base) * 2.0
+        mask2d = rng.random((b, m)) < 0.9
+        mask3d = rng.random((b, n)) < 0.9
+        scores = np.where(mask2d[:, :, None], scores, NEG_INF)
+        scores = np.where(mask3d[:, None, :], scores, NEG_INF)
+        scores = jnp.asarray(scores, jnp.float32)
+
+        conf = jax.nn.softmax(scores, axis=1) * jax.nn.softmax(
+            scores, axis=2
+        )
+        ref = match_from_conf(
+            conf, 0.2, mask2d=jnp.asarray(mask2d), mask3d=jnp.asarray(mask3d)
+        )
+        out = dual_softmax_match(scores, 0.2)
+        np.testing.assert_array_equal(
+            np.asarray(out["matches0"]), np.asarray(ref["matches0"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["matches1"]), np.asarray(ref["matches1"])
+        )
+        got = np.asarray(out["matching_scores0"])
+        want = np.asarray(ref["matching_scores0"])
+        valid = np.asarray(ref["valid0"])
+        np.testing.assert_allclose(got[valid], want[valid], rtol=1e-5)
+        assert (np.asarray(out["matches0"]) >= 0).sum() > 10
+
+    def test_module_fused_flag(self):
+        import jax as _jax
+        from onepose_tpu.models import GATsSPG
+
+        rng = np.random.default_rng(1)
+        b, n2, n3, L, C = 1, 32, 48, 2, 256
+        d2 = jnp.asarray(rng.normal(size=(b, n2, C)), jnp.float32)
+        d3 = jnp.asarray(rng.normal(size=(b, n3, C)), jnp.float32)
+        lv = jnp.asarray(rng.normal(size=(b, n3, L, C)), jnp.float32)
+        mx = GATsSPG(fused_match=False)
+        mp = GATsSPG(fused_match=True)
+        params = mx.init(_jax.random.PRNGKey(0), d2, d3, lv)
+        ox = mx.apply(params, d2, d3, lv)
+        op = mp.apply(params, d2, d3, lv)
+        np.testing.assert_array_equal(
+            np.asarray(op["matches0"]), np.asarray(ox["matches0"])
+        )
+        assert op["conf_matrix"] is None
+        assert ox["conf_matrix"] is not None
