@@ -7,6 +7,7 @@ Commands mirror the reference entry points (SURVEY.md §3):
   demo        inference_demo.py (detection + tracking video)
   detect      feature_matching_object_detector.py (writes color_det/,
               intrin_det/)
+  merge-anno  run.py merge_anno (merged train/val indices, COCO export)
   parse-scan  parse_scanned_data.py
   video2img   video2img.py
 """
@@ -28,6 +29,7 @@ def main(argv=None) -> int:
         detect_cmd,
         infer,
         map_object,
+        merge_anno_cmd,
         parse_scan_cmd,
         train_cmd,
     )
@@ -38,6 +40,7 @@ def main(argv=None) -> int:
     parse_scan_cmd.add_parser(sub)
     demo.add_parser(sub)
     detect_cmd.add_parser(sub)
+    merge_anno_cmd.add_parser(sub)
 
     args = parser.parse_args(argv)
     cfg = load_config(args._defaults, args.config, args.overrides)

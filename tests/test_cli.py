@@ -228,3 +228,35 @@ class TestMapInferCLI:
         assert np.isfinite(record["train_loss"])
         assert osp.exists(osp.join(run_dir, "ckpt", "ckpt_1.msgpack"))
         assert osp.exists(osp.join(run_dir, "metrics.jsonl"))
+
+
+class TestMergeAnno:
+    def test_merge_and_coco(self, tmp_path, capsys):
+        from onepose_tpu.data.anno_io import write_anno_index
+
+        idx1 = str(tmp_path / "a.json")
+        idx2 = str(tmp_path / "b.json")
+        write_anno_index(
+            idx1, [{"anno_id": 1, "anno_file": "x.json", "img_file": "x.png"}]
+        )
+        write_anno_index(
+            idx2, [{"anno_id": 1, "anno_file": "y.json", "img_file": "y.png"}]
+        )
+        out = str(tmp_path / "merged.json")
+        coco = str(tmp_path / "coco.json")
+        rc = cli_main(
+            [
+                "merge-anno",
+                f"indices={idx1},{idx2}",
+                f"out={out}",
+                f"coco_out={coco}",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["num_annotations"] == 2
+        data = json.load(open(coco))
+        assert len(data["images"]) == 2
+        # re-numbered unique ids
+        merged = json.load(open(out))
+        assert sorted(e["anno_id"] for e in merged) == [1, 2]
