@@ -27,10 +27,13 @@ DEFAULTS = {
     "max_points3d": 2500,
     "num_leaf": 8,
     "det_type": "GT_box",
+    "redo": True,  # False: skip if outputs already exist (run.py:154)
 }
 
 
 def run(cfg: dict) -> dict:
+    import json as _json
+
     from onepose_tpu.cli.common import (
         extract_sequence_features,
         load_superpoint_params,
@@ -49,6 +52,17 @@ def run(cfg: dict) -> dict:
     data_dir = cfg["data_dir"]
     assert data_dir, "map: data_dir is required"
     out_dir = cfg["out_dir"] or osp.join(osp.dirname(data_dir), "outputs")
+
+    # Resume semantics (reference run.py:154, redo flag): a completed map
+    # (stats + annotation index on disk) is not rebuilt unless redo=True.
+    stats_path = osp.join(out_dir, "stats.json")
+    index_path = osp.join(out_dir, "anno", "anno_index.json")
+    if not cfg["redo"] and osp.exists(stats_path) and osp.exists(index_path):
+        with open(stats_path) as f:
+            stats = _json.load(f)
+        stats["skipped_existing"] = True
+        print(_json.dumps(stats))
+        return stats
 
     sp = SuperPoint()
     sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])

@@ -260,3 +260,20 @@ class TestMergeAnno:
         # re-numbered unique ids
         merged = json.load(open(out))
         assert sorted(e["anno_id"] for e in merged) == [1, 2]
+
+
+class TestMapResume:
+    def test_redo_false_skips_existing(self, tmp_path, capsys):
+        rng = np.random.default_rng(3)
+        seq = build_sequence(tmp_path, rng, n_frames=6, img=96, n_pts=40)
+        out_dir = osp.join(osp.dirname(seq), "outputs")
+        args = [
+            "map", f"data_dir={seq}", f"out_dir={out_dir}",
+            "max_keypoints=128", "num_covis=3", "max_points3d=200",
+        ]
+        assert cli_main(args) == 0
+        first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert cli_main(args + ["redo=false"]) == 0
+        second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert second.get("skipped_existing") is True
+        assert second["num_points3d"] == first["num_points3d"]
