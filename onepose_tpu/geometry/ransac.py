@@ -51,7 +51,7 @@ def _reproj_err(R, t, K, pts3d, pts2d):
     return jnp.where(z > 1e-6, err, jnp.inf)
 
 
-def _gn_refine(R0, t0, K, pts3d, pts2d, weights, iters: int = 10, damping: float = 1e-6):
+def _gn_refine(R0, t0, K, pts3d, pts2d, weights, iters: int = 5, damping: float = 1e-6):
     """Gauss-Newton on (angle-axis, t) minimizing weighted reprojection."""
     aa0 = rotmat_to_angle_axis(R0)
     x0 = jnp.concatenate([aa0, t0])
@@ -84,7 +84,7 @@ def ransac_pnp(
     mask: jnp.ndarray,
     reproj_threshold: float = 5.0,
     n_hyp: int = 512,
-    refine_iters: int = 10,
+    refine_iters: int = 5,
     scale: float = 1000.0,
 ) -> dict:
     """RANSAC EPnP over masked 2D-3D matches.
