@@ -94,11 +94,20 @@ class GraphAttentionLayer(nn.Module):
                 self.alpha,
             )
 
-        wh_leaf = leaf_desc @ W  # [B, N3, L, C']
-        wh_3d = desc3d @ W  # [B, N3, C']
-
-        e_leaf = wh_leaf @ a_leaf  # [B, N3, L]
-        e_3d = wh_3d @ a_self  # [B, N3]
+        if self.with_linear_transform:
+            wh_leaf = leaf_desc @ W  # [B, N3, L, C']
+            wh_3d = desc3d @ W  # [B, N3, C']
+            e_leaf = wh_leaf @ a_leaf  # [B, N3, L]
+            e_3d = wh_3d @ a_self  # [B, N3]
+        else:
+            # Without the linear transform, Wh only ever feeds the scalar
+            # logits, so (X @ W) @ a collapses to X @ (W @ a): a [C] matvec
+            # instead of a [C, C'] projection of every leaf — ~256x fewer
+            # FLOPs on the dominant leaf tensor, numerically the same dot
+            # product reassociated.
+            e_leaf = leaf_desc @ (W @ a_leaf)  # [B, N3, L]
+            e_3d = desc3d @ (W @ a_self)  # [B, N3]
+            wh_leaf = wh_3d = None
 
         if self.include_self:
             # Reference parity (GATs.py:117-122): the self column reuses the
@@ -107,7 +116,12 @@ class GraphAttentionLayer(nn.Module):
             logits = jnp.concatenate(
                 [e_3d[..., None], e_leaf], axis=-1
             )  # [B, N3, 1+L]
-            values_w = jnp.concatenate([wh_3d[..., None, :], wh_leaf], axis=-2)
+            if self.with_linear_transform:
+                values_w = jnp.concatenate(
+                    [wh_3d[..., None, :], wh_leaf], axis=-2
+                )
+            else:
+                values_w = None
             values_raw = jnp.concatenate(
                 [desc3d[..., None, :], leaf_desc], axis=-2
             )

@@ -49,6 +49,13 @@ class MappingConfig:
     num_leaf: int = 8
     pair_batch: int = 32
     leaf_seed: int = 0
+    # Optional global bundle adjustment after triangulation + merge — the
+    # reference's `colmap bundle_adjuster` step (src/sfm/global_ba.py:9-39:
+    # LM refinement with intrinsics fixed). refine_cameras=False keeps the
+    # known capture poses as gauge and refines point positions only.
+    global_ba: bool = False
+    global_ba_iters: int = 10
+    global_ba_refine_cameras: bool = False
 
 
 @dataclasses.dataclass
@@ -62,6 +69,8 @@ class MappingResult:
     idxs: np.ndarray
     frame_assign: dict  # {frame_idx: [2, K] assign matrix}
     stats: dict
+    refined_poses: Optional[np.ndarray] = None  # [F, 4, 4] if global BA
+    # refined the camera poses (global_ba_refine_cameras=True)
 
 
 def run_mapping(
@@ -162,6 +171,14 @@ def run_mapping(
         tri["xyz"][track_ids], track_ids, dist_threshold=cfg.merge_dist
     )
 
+    ba_stats: dict = {}
+    refined_poses = None
+    if cfg.global_ba:
+        merged_xyz, refined_poses, ba_stats = _global_ba(
+            merged_xyz, groups, tracks, tri["obs_inlier"],
+            keypoints, K, poses, cfg,
+        )
+
     agg = aggregate_point_features(
         tracks, tri["obs_inlier"], ok, groups, descriptors, scores
     )
@@ -204,6 +221,7 @@ def run_mapping(
         ),
         "mean_reproj_error_px": float(tri["mean_reproj"][track_ids].mean()),
         "num_observations": int(inlier_counts[track_ids].sum()),
+        **ba_stats,
     }
     return MappingResult(
         annotation=annotation,
@@ -215,4 +233,82 @@ def run_mapping(
         idxs=agg["idxs"],
         frame_assign=frame_assign,
         stats=stats,
+        refined_poses=refined_poses,
     )
+
+
+def _global_ba(
+    merged_xyz: np.ndarray,
+    groups: dict,
+    tracks,
+    obs_inlier: np.ndarray,
+    keypoints: np.ndarray,
+    K: np.ndarray,
+    poses: np.ndarray,
+    cfg: MappingConfig,
+):
+    """Global LM bundle adjustment over the merged map (reference
+    src/sfm/global_ba.py:9-39 — `colmap bundle_adjuster` with intrinsics
+    refinement disabled). Returns (points, refined_poses | None, stats)."""
+    from onepose_tpu.geometry.rotations import (
+        angle_axis_to_rotmat,
+        rotmat_to_angle_axis,
+    )
+    from onepose_tpu.ops.lm import ba_solve
+
+    P = len(merged_xyz)
+    pt_l, cam_l, uv_l = [], [], []
+    for new_id in range(P):
+        for tid in np.atleast_1d(groups[new_id]):
+            sel = tracks.obs_mask[tid] & obs_inlier[tid].astype(bool)
+            fr = tracks.obs_frame[tid][sel]
+            kp = tracks.obs_kpt[tid][sel]
+            pt_l.append(np.full(len(fr), new_id, np.int32))
+            cam_l.append(fr.astype(np.int32))
+            uv_l.append(keypoints[fr, kp])
+    pt_idx = np.concatenate(pt_l)
+    cam_idx = np.concatenate(cam_l)
+    uv = np.concatenate(uv_l).astype(np.float32)
+    f = 0.5 * (K[cam_idx, 0, 0] + K[cam_idx, 1, 1])
+    feats = np.concatenate(
+        [uv, f[:, None], K[cam_idx, 0, 2:3], K[cam_idx, 1, 2:3]], axis=1
+    ).astype(np.float32)
+
+    aa = np.asarray(
+        jax.vmap(rotmat_to_angle_axis)(jnp.asarray(poses[:, :3, :3]))
+    )
+    cam6 = np.concatenate([aa, poses[:, :3, 3]], axis=1).astype(np.float32)
+    fix = (
+        None
+        if cfg.global_ba_refine_cameras
+        else jnp.ones((len(cam6),), jnp.float32)
+    )
+    out = ba_solve(
+        jnp.asarray(merged_xyz, jnp.float32),
+        jnp.asarray(cam6),
+        jnp.asarray(feats),
+        jnp.asarray(pt_idx),
+        jnp.asarray(cam_idx),
+        jnp.ones((len(pt_idx),), bool),
+        fix_cam_mask=fix,
+        n_iters=cfg.global_ba_iters,
+    )
+    n_obs = max(len(pt_idx), 1)
+    stats = {
+        "global_ba_rmse_initial_px": float(
+            np.sqrt(2.0 * float(out["cost_initial"]) / n_obs)
+        ),
+        "global_ba_rmse_final_px": float(
+            np.sqrt(2.0 * float(out["cost_final"]) / n_obs)
+        ),
+    }
+    refined_poses = None
+    if cfg.global_ba_refine_cameras:
+        cams = np.asarray(out["cam_poses"])
+        Rs = np.asarray(
+            jax.vmap(angle_axis_to_rotmat)(jnp.asarray(cams[:, :3]))
+        )
+        refined_poses = np.tile(np.eye(4, dtype=np.float32), (len(cams), 1, 1))
+        refined_poses[:, :3, :3] = Rs
+        refined_poses[:, :3, 3] = cams[:, 3:6]
+    return np.asarray(out["points"]), refined_poses, stats

@@ -268,6 +268,58 @@ class TestMappingEndToEnd:
             assert len(np.unique(am[1])) == am.shape[1]
             assert am[1].max() < P
 
+    def test_global_ba_improves_map(self):
+        """global_ba=True (reference global_ba.py equivalent) must reduce
+        reprojection RMSE and tighten the map against GT geometry."""
+        rng = np.random.default_rng(3)
+        scene = make_scene(rng, n_pts=250, n_frames=12, noise=1.0)
+        base_cfg = dict(max_points3d=500, num_covis=6)
+        res_plain = run_mapping(
+            scene["keypoints"], scene["descriptors"], scene["scores"],
+            scene["mask"], scene["K"], scene["poses"],
+            nn_pair_matcher(scene),
+            config=MappingConfig(**base_cfg),
+            pad_points_to=512,
+        )
+        res_ba = run_mapping(
+            scene["keypoints"], scene["descriptors"], scene["scores"],
+            scene["mask"], scene["K"], scene["poses"],
+            nn_pair_matcher(scene),
+            config=MappingConfig(global_ba=True, **base_cfg),
+            pad_points_to=512,
+        )
+        assert "global_ba_rmse_final_px" in res_ba.stats
+        assert (
+            res_ba.stats["global_ba_rmse_final_px"]
+            <= res_ba.stats["global_ba_rmse_initial_px"] + 1e-6
+        ), res_ba.stats
+        assert res_ba.refined_poses is None  # cameras fixed by default
+
+        def gt_err(res):
+            d = np.linalg.norm(
+                res.points_xyz[:, None, :] - scene["pts"][None], axis=-1
+            )
+            return d.min(axis=1).mean()
+
+        assert gt_err(res_ba) <= gt_err(res_plain) + 1e-6
+
+        # Refining cameras too must still converge and return poses.
+        res_cam = run_mapping(
+            scene["keypoints"], scene["descriptors"], scene["scores"],
+            scene["mask"], scene["K"], scene["poses"],
+            nn_pair_matcher(scene),
+            config=MappingConfig(
+                global_ba=True, global_ba_refine_cameras=True, **base_cfg
+            ),
+            pad_points_to=512,
+        )
+        assert res_cam.refined_poses is not None
+        assert res_cam.refined_poses.shape == scene["poses"].shape
+        assert (
+            res_cam.stats["global_ba_rmse_final_px"]
+            <= res_cam.stats["global_ba_rmse_initial_px"] + 1e-6
+        )
+
     def test_box_filter_in_mapping(self):
         rng = np.random.default_rng(7)
         scene = make_scene(rng, n_pts=200, n_frames=10)
