@@ -127,8 +127,12 @@ def run(cfg: dict) -> dict:
     prev_inliers = 0
     n_detect, n_track = 0, 0
     results = []
-    for fi, fp in enumerate(frame_paths):
-        gray = cv2.imread(fp, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+    from onepose_tpu.native.frame_loader import FrameLoader
+
+    for fi, gray in FrameLoader(frame_paths, queue_cap=4):
+        fp = frame_paths[fi]
+        if gray is None:
+            raise FileNotFoundError(fp)
 
         if prev_pose is None or prev_inliers < cfg["redetect_inliers"]:
             dense = sp_fwd(sp_params, jnp.asarray(gray)[None, ..., None])

@@ -84,9 +84,13 @@ def run(cfg: dict) -> dict:
     os.makedirs(color_det, exist_ok=True)
     os.makedirs(intrin_det, exist_ok=True)
 
+    from onepose_tpu.native.frame_loader import FrameLoader
+
     n_ok = 0
-    for fp in frame_paths:
-        gray = cv2.imread(fp, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+    for fi, gray in FrameLoader(frame_paths, queue_cap=4):
+        fp = frame_paths[fi]
+        if gray is None:
+            raise FileNotFoundError(fp)
         dense = sp_fwd(sp_params, jnp.asarray(gray)[None, ..., None])
         qf = extract_keypoints(
             dense["score_map"],

@@ -60,11 +60,24 @@ def run(cfg: dict) -> dict:
     ev = Evaluator()
     B = cfg["batch"]
     n_frames = 0
+    # Native threaded prefetch: decode of upcoming frames overlaps the
+    # device batch in flight (native/frame_loader.cpp).
+    from onepose_tpu.native.frame_loader import FrameLoader
+
+    frames = iter(FrameLoader(img_paths, queue_cap=2 * B))
     for s in range(0, len(img_paths), B):
         chunk = img_paths[s : s + B]
         imgs, Ks, poses = [], [], []
         for p in chunk:
-            img, K, pose = path_utils.load_frame(p, cfg["det_type"])
+            _, img = next(frames)
+            if img is None:
+                raise FileNotFoundError(p)
+            K = np.loadtxt(
+                path_utils.intrin_path_by_color(p, cfg["det_type"])
+            ).astype(np.float32)
+            pose = np.loadtxt(
+                path_utils.gt_pose_path_by_color(p, cfg["det_type"])
+            ).astype(np.float32)
             imgs.append(img)
             Ks.append(K)
             poses.append(pose)

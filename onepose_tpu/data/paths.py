@@ -81,16 +81,28 @@ def _frame_key(path: str):
         return (1, stem)
 
 
-def load_frame(color_path: str, det_type: str = "GT_box"):
-    """Load (gray image [H, W] float in [0,1], K [3,3], pose T_oc [4,4])."""
-    import cv2
+def load_gray(color_path: str):
+    """Grayscale float [0,1] image via the native decoder (cv2 fallback)."""
     import numpy as np
 
-    img = cv2.imread(color_path, cv2.IMREAD_GRAYSCALE)
+    from onepose_tpu.native.frame_loader import read_gray
+
+    img = read_gray(color_path)
     if img is None:
-        raise FileNotFoundError(color_path)
+        import cv2
+
+        raw = cv2.imread(color_path, cv2.IMREAD_GRAYSCALE)
+        if raw is None:
+            raise FileNotFoundError(color_path)
+        img = raw.astype(np.float32) / 255.0
+    return img
+
+
+def load_frame(color_path: str, det_type: str = "GT_box"):
+    """Load (gray image [H, W] float in [0,1], K [3,3], pose T_oc [4,4])."""
+    import numpy as np
+
+    img = load_gray(color_path)
     K = np.loadtxt(intrin_path_by_color(color_path, det_type))
     pose = np.loadtxt(gt_pose_path_by_color(color_path, det_type))
-    return img.astype("float32") / 255.0, K.astype("float32"), pose.astype(
-        "float32"
-    )
+    return img, K.astype("float32"), pose.astype("float32")

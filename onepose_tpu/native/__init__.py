@@ -22,21 +22,27 @@ _lib = None
 _build_failed = False
 
 
+_SOURCES = ["union_find.cpp", "frame_loader.cpp"]
+
+
 def _build() -> bool:
-    src = osp.join(_HERE, "union_find.cpp")
-    try:
-        subprocess.run(
-            [
-                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                src, "-o", _LIB_PATH,
-            ],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    srcs = [osp.join(_HERE, s) for s in _SOURCES]
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+    attempts = [
+        base + srcs + ["-lpng", "-ljpeg", "-lz", "-o", _LIB_PATH],
+        # Image libraries unavailable: graph cores only (frame loader
+        # callers fall back to the Python/cv2 path).
+        base + [srcs[0], "-o", _LIB_PATH],
+    ]
+    for cmd in attempts:
+        try:
+            subprocess.run(
+                cmd, check=True, capture_output=True, timeout=120
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib():
@@ -47,9 +53,12 @@ def get_lib():
             return _lib
         if _build_failed:
             return None
-        if not osp.exists(_LIB_PATH) or osp.getmtime(
-            _LIB_PATH
-        ) < osp.getmtime(osp.join(_HERE, "union_find.cpp")):
+        newest_src = max(
+            osp.getmtime(osp.join(_HERE, s))
+            for s in _SOURCES
+            if osp.exists(osp.join(_HERE, s))
+        )
+        if not osp.exists(_LIB_PATH) or osp.getmtime(_LIB_PATH) < newest_src:
             if not _build():
                 _build_failed = True
                 return None
@@ -74,6 +83,36 @@ def get_lib():
             ctypes.c_double,
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
+        if hasattr(lib, "fl_create"):
+            lib.fl_create.restype = ctypes.c_void_p
+            lib.fl_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_void_p,  # affines (float* or NULL)
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.fl_next.restype = ctypes.c_int
+            lib.fl_next.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ]
+            lib.fl_destroy.argtypes = [ctypes.c_void_p]
+            lib.fl_probe.restype = ctypes.c_int
+            lib.fl_probe.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ]
+            lib.fl_read_gray.restype = ctypes.c_int
+            lib.fl_read_gray.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+            ]
         _lib = lib
         return _lib
 
