@@ -46,16 +46,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from onepose_tpu.models.gats_spg import GATsSPG
-    from onepose_tpu.models.superpoint import SuperPoint
     from onepose_tpu.runtime.pipeline import ObjectAnnotation, PosePipeline
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
-    sp = SuperPoint()
-    matcher = GATsSPG()
-    pipe = PosePipeline(sp, matcher, max_keypoints=N_KPTS)
+    pipe = PosePipeline(max_keypoints=N_KPTS)  # serving default (bf16 GNN)
+    sp = pipe.superpoint
+    matcher = pipe.matcher
 
     images = jnp.asarray(rng.random((BATCH, IMG, IMG, 1), np.float32))
     K = jnp.broadcast_to(

@@ -1,6 +1,7 @@
 """Integration tests: end-to-end pipeline, NN matcher oracle, train step,
 multi-device shardings (on the 8-device CPU mesh from conftest)."""
 
+import chex
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,7 +10,7 @@ from onepose_tpu.geometry import query_pose_error, ransac_pnp
 from onepose_tpu.models.gats_spg import GATsSPG
 from onepose_tpu.models.nn_matcher import mutual_nn_match
 from onepose_tpu.runtime.pipeline import ObjectAnnotation, PosePipeline
-from onepose_tpu.models.superpoint import SuperPoint
+from onepose_tpu.models.superpoint import SuperPoint, extract_keypoints
 from onepose_tpu.train.losses import focal_loss
 from onepose_tpu.train.train_step import (
     TrainConfig,
@@ -111,6 +112,54 @@ class TestPipeline:
         assert out["matches0"].shape == (b, n_kpts)
         # Unmatched / failed frames fall back to finite identity-like poses.
         assert np.all(np.isfinite(np.asarray(out["matching_scores0"])))
+
+    def test_bf16_serving_default_agrees_with_fp32(self):
+        """Default-constructed PosePipeline computes the GNN/convs in bf16
+        (serving default); keypoints must agree with the fp32 pipeline at
+        high rate and outputs stay finite."""
+        rng = np.random.default_rng(5)
+        b, img, n_kpts = 2, 64, 64
+        pipe16 = PosePipeline(max_keypoints=n_kpts, ransac_hypotheses=32)
+        assert pipe16.superpoint.dtype == jnp.bfloat16
+        pipe32 = PosePipeline(
+            max_keypoints=n_kpts,
+            ransac_hypotheses=32,
+            compute_dtype=jnp.float32,
+        )
+        images = jnp.asarray(rng.random((b, img, img, 1), np.float32))
+        key = jax.random.PRNGKey(0)
+        p16 = pipe16.superpoint.init(key, images[:1])
+        p32 = pipe32.superpoint.init(key, images[:1])
+        # Identical parameter trees (params stay fp32; dtype only affects
+        # compute) — converted checkpoints load into either.
+        chex.assert_trees_all_close(p16, p32)
+        d16 = pipe16.superpoint.apply(p16, images)
+        d32 = pipe32.superpoint.apply(p32, images)
+        f16 = extract_keypoints(
+            d16["score_map"], d16["descriptor_map"], max_keypoints=n_kpts
+        )
+        f32 = extract_keypoints(
+            d32["score_map"], d32["descriptor_map"], max_keypoints=n_kpts
+        )
+        agree = 0.0
+        for i in range(b):
+            s16 = {
+                tuple(k)
+                for k, v in zip(
+                    np.asarray(f16["keypoints"][i]), np.asarray(f16["mask"][i])
+                )
+                if v
+            }
+            s32 = {
+                tuple(k)
+                for k, v in zip(
+                    np.asarray(f32["keypoints"][i]), np.asarray(f32["mask"][i])
+                )
+                if v
+            }
+            agree += len(s16 & s32) / max(len(s32), 1) / b
+        assert agree > 0.9, agree
+        assert np.isfinite(np.asarray(d16["descriptor_map"])).all()
 
 
 class TestTraining:
