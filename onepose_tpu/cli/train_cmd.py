@@ -43,9 +43,13 @@ def run(cfg: dict) -> dict:
         CodeSnapshot,
         TensorBoardLogger,
     )
+    from onepose_tpu.utils.comm import init_distributed
     from onepose_tpu.utils.seeding import seed_everything
 
     assert cfg["anno_index"], "train: anno_index is required"
+    # Multi-host (DCN) join when JAX_COORDINATOR_ADDRESS etc. are set;
+    # no-op for the common single-process run.
+    init_distributed()
     seed_everything(cfg["seed"])
     ds = GATsSPGDataset(
         cfg["anno_index"],

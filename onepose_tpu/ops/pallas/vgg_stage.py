@@ -48,39 +48,32 @@ def _roll(x, shift, axis):
 
 
 def _conv_block(x, w_ref, b_ref, out_h, out_w, dtype):
-    """Valid 3x3 conv on [rows, cols, cin] -> [out_h, out_w, cout] via 9
-    accumulated MXU taps; relu; fp32 result.
+    """Valid 3x3 conv on [rows, cols, cin] -> [out_h, out_w, cout], relu.
 
-    The tap loop is a fori_loop dispatching to 9 static-slice branches:
-    a Python-unrolled loop keeps every tap's im2col patch live at once on
-    the Mosaic stack and blows the 16 MB VMEM budget."""
+    Tap-BATCHED im2col: the 9 shifted views are concatenated on the channel
+    (lane) axis into one [out_h, out_w, 9*cin] patch tensor and contracted
+    against the [9*cin, cout] weight matrix in a SINGLE MXU matmul
+    (K = 9*cin = 576 for the 64-channel stages). The round-1 revision ran
+    9 separate K=cin taps through a fori_loop/switch, which serialized 9
+    quarter-utilization matmuls and lost 12x to XLA's conv emitters
+    (docs/PERFORMANCE.md); batching the taps into K recovers the MXU."""
     cin = x.shape[-1]
     cout = w_ref.shape[-1]
-    w = w_ref[:].astype(dtype)  # [3, 3, cin, cout]
-
-    def mk_branch(dy, dx):
-        def br(x_):
-            patch = x_[dy : dy + out_h, dx : dx + out_w, :].reshape(
-                out_h * out_w, cin
-            )
-            return jax.lax.dot_general(
-                patch, w[dy, dx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        return br
-
-    branches = [mk_branch(t // 3, t % 3) for t in range(9)]
-
-    def body(t, acc):
-        return acc + jax.lax.switch(t, branches, x)
-
-    acc = jax.lax.fori_loop(
-        0, 9, body, jnp.zeros((out_h * out_w, cout), jnp.float32)
+    w = w_ref[:].astype(dtype).reshape(9 * cin, cout)
+    patches = jnp.concatenate(
+        [
+            x[dy : dy + out_h, dx : dx + out_w, :]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=-1,
+    )  # [out_h, out_w, 9*cin]
+    acc = jax.lax.dot_general(
+        patches, w,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return jnp.maximum(acc + b_ref[0][None, :], 0.0).reshape(
-        out_h, out_w, cout
-    ).astype(dtype)
+    return jnp.maximum(acc + b_ref[0][None, None, :], 0.0).astype(dtype)
 
 
 def _edge_mask(i, th, H, W, rows, cols):
@@ -127,19 +120,23 @@ def _stage_kernel_image(
 
     # Taps via double roll on the FULL band: a sliced operand would carry
     # an offset layout, and Mosaic only supports the [:, :, None]
-    # minor-dim broadcast on canonical layouts. fori_loop keeps only one
-    # tap product live at a time (unrolled taps blew the VMEM budget).
-    w9 = w1_ref[:, :, 0, :].reshape(9, c1)
-
-    def tap(t, acc3):
-        dy, dx = t // 3, t % 3
-        patch = _roll(_roll(x2d, -dx, 1), -dy, 0)
-        return acc3 + patch[:, :, None] * jax.lax.dynamic_slice(
-            w9, (t, 0), (1, c1)
-        ).reshape(c1)[None, None, :]
-
-    acc3 = jax.lax.fori_loop(
-        0, 9, tap, jnp.zeros(x2d.shape + (c1,), jnp.float32)
+    # minor-dim broadcast on canonical layouts (roll keeps it canonical).
+    # The 9 rolled taps stack on a new lane axis and contract against the
+    # [9, c1] weight matrix in one MXU call — the same tap-batched im2col
+    # as _conv_block (K = 9 is tiny here, but so are the FLOPs).
+    w9 = w1_ref[:, :, 0, :].reshape(9, c1).astype(dtype)
+    patches = jnp.concatenate(
+        [
+            _roll(_roll(x2d, -dx, 1), -dy, 0)[:, :, None]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=-1,
+    ).astype(dtype)  # [rows, Wp, 9]
+    acc3 = jax.lax.dot_general(
+        patches, w9,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     y = jnp.maximum(acc3 + b1_ref[0][None, None, :], 0.0)
     y = (

@@ -17,6 +17,40 @@ import numpy as np
 import jax
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX (DCN) if configured; no-op otherwise.
+
+    The reference sets up torch.distributed process groups through
+    PyTorch-Lightning (src/utils/comm.py:84-98); here a pod slice or
+    multi-host CPU ring is joined via jax.distributed. Arguments default
+    to the standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, or an orchestrator-provided environment jax can
+    auto-detect). Safe to call unconditionally: single-process runs with
+    no coordinator configured are left untouched.
+    """
+    import os
+
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None:
+        return  # single-process / auto-detected environments
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=num_processes
+            or int(os.environ.get("JAX_NUM_PROCESSES", "0")) or None,
+            process_id=process_id
+            if process_id is not None
+            else int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    except RuntimeError:
+        # Already initialized (idempotent callers).
+        pass
+
+
 def get_world_size() -> int:
     return jax.process_count()
 
