@@ -41,20 +41,72 @@ def run(cfg: dict) -> dict:
     from onepose_tpu.models import GATsSPG, SuperPoint
     from onepose_tpu.runtime.pipeline import PosePipeline
 
-    data_dir = cfg["data_dir"]
-    assert data_dir, "infer: data_dir is required"
-    anno_dir = cfg["anno_dir"] or osp.join(
-        osp.dirname(data_dir), "outputs", "anno"
-    )
-    anno = annotation_from_npz_dir(
-        anno_dir, num_leaf=cfg["num_leaf"], shape3d=cfg["shape3d"]
-    )
+    assert cfg["data_dir"], "infer: data_dir is required"
+    # Roster support (reference inference.py:185-198 loops all object
+    # sequences): data_dir may be one directory, a comma-separated list,
+    # or a glob pattern. Metrics are recorded per sequence and aggregated
+    # over all frames.
+    from glob import glob
+
+    seq_dirs = []
+    for d in str(cfg["data_dir"]).split(","):
+        d = d.strip()
+        if not d:
+            continue
+        hits = sorted(glob(d)) if any(c in d for c in "*?[") else [d]
+        seq_dirs.extend(hits or [d])
+    assert seq_dirs, f"infer: no sequences match {cfg['data_dir']}"
 
     sp = SuperPoint()
     matcher = GATsSPG()
     sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
     m_params = load_matcher_params(matcher, cfg["weights"]["matcher"])
     pipe = PosePipeline(sp, matcher, max_keypoints=cfg["max_keypoints"])
+
+    per_seq = {}
+    overall = Evaluator()
+    total_frames = 0
+    for seq_dir in seq_dirs:
+        anno_dir = cfg["anno_dir"] or osp.join(
+            osp.dirname(seq_dir), "outputs", "anno"
+        )
+        anno = annotation_from_npz_dir(
+            anno_dir, num_leaf=cfg["num_leaf"], shape3d=cfg["shape3d"]
+        )
+        seq_name = (
+            cfg["seq_name"]
+            if len(seq_dirs) == 1
+            else osp.basename(osp.normpath(seq_dir))
+        )
+        m = _eval_sequence(
+            cfg, seq_dir, anno, pipe, sp_params, m_params, overall
+        )
+        per_seq[seq_name] = m
+        total_frames += m["num_frames"]
+        if cfg["eval_out"]:
+            record_eval_result(cfg["eval_out"], seq_name, m)
+
+    if len(seq_dirs) == 1:
+        metrics = next(iter(per_seq.values()))
+    else:
+        metrics = overall.summarize()
+        metrics["num_frames"] = total_frames
+        metrics["per_seq"] = per_seq
+        if cfg["eval_out"]:
+            record_eval_result(
+                cfg["eval_out"],
+                "ALL",
+                {k: v for k, v in metrics.items() if k != "per_seq"},
+            )
+    print(json.dumps(metrics))
+    return metrics
+
+
+def _eval_sequence(
+    cfg: dict, data_dir: str, anno, pipe, sp_params, m_params, overall
+) -> dict:
+    from onepose_tpu.data import paths as path_utils
+    from onepose_tpu.eval import Evaluator
 
     img_paths = path_utils.list_color_images(data_dir, cfg["det_type"])
     ev = Evaluator()
@@ -94,7 +146,9 @@ def run(cfg: dict) -> dict:
             jax.random.PRNGKey(s),
         )
         pose_pred = np.asarray(out["pose"])[: len(chunk)]
-        ev.evaluate(pose_pred, np.stack(poses)[: len(chunk)])
+        gt = np.stack(poses)[: len(chunk)]
+        ev.evaluate(pose_pred, gt)
+        overall.evaluate(pose_pred, gt)
         if cfg["dump_vis3d"]:
             from onepose_tpu.utils.vis import dump_scene_3d
 
@@ -115,9 +169,6 @@ def run(cfg: dict) -> dict:
 
     metrics = ev.summarize()
     metrics["num_frames"] = n_frames
-    if cfg["eval_out"]:
-        record_eval_result(cfg["eval_out"], cfg["seq_name"], metrics)
-    print(json.dumps(metrics))
     return metrics
 
 

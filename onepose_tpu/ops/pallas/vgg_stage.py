@@ -59,20 +59,26 @@ def _conv_block(x, w_ref, b_ref, out_h, out_w, dtype):
     (docs/PERFORMANCE.md); batching the taps into K recovers the MXU."""
     cin = x.shape[-1]
     cout = w_ref.shape[-1]
-    w = w_ref[:].astype(dtype).reshape(9 * cin, cout)
-    patches = jnp.concatenate(
-        [
-            x[dy : dy + out_h, dx : dx + out_w, :]
-            for dy in range(3)
-            for dx in range(3)
-        ],
-        axis=-1,
-    )  # [out_h, out_w, 9*cin]
-    acc = jax.lax.dot_general(
-        patches, w,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    w = w_ref[:].astype(dtype)  # [3, 3, cin, cout]
+    # Column taps via roll (sliced operands carry sublane offsets that
+    # Mosaic's lane-dim concatenate rejects; rolls stay canonical, and
+    # rotate only supports 32-bit data, hence the fp32 round trip). Row
+    # taps via plain slices — the row axis is untiled, so row slices are
+    # offset-free. Net: one [rows, cols, 3*cin] bf16 patch tensor and
+    # three K=3*cin MXU matmuls accumulated in fp32.
+    x32 = x.astype(jnp.float32)
+    x3 = jnp.concatenate(
+        [_roll(x32, -dx, 1) for dx in range(3)], axis=-1
+    ).astype(dtype)  # [rows, cols, 3*cin]
+    acc = None
+    for dy in range(3):
+        part = jax.lax.dot_general(
+            x3[dy : dy + out_h, :out_w, :],
+            w[dy].reshape(3 * cin, cout),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
     return jnp.maximum(acc + b_ref[0][None, None, :], 0.0).astype(dtype)
 
 

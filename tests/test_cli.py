@@ -146,6 +146,33 @@ class TestMapInferCLI:
         assert metrics["num_frames"] == 10
         assert set(metrics) >= {"cmd1", "cmd3", "cmd5"}
 
+    def test_infer_roster(self, seq_dir, tmp_path, capsys):
+        """Comma-separated sequence rosters aggregate over all frames and
+        record per-sequence metrics (reference inference.py:185-198)."""
+        out_dir = osp.join(osp.dirname(seq_dir), "outputs")
+        eval_out = str(tmp_path / "eval")
+        rc = cli_main(
+            [
+                "infer",
+                f"data_dir={seq_dir},{seq_dir}",
+                f"anno_dir={osp.join(out_dir, 'anno')}",
+                "max_keypoints=256",
+                "shape3d=300",
+                "batch=4",
+                f"eval_out={eval_out}",
+            ]
+        )
+        assert rc == 0
+        metrics = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert metrics["num_frames"] == 20
+        assert len(metrics["per_seq"]) == 1  # same dir twice -> same name
+        seq_name = next(iter(metrics["per_seq"]))
+        assert metrics["per_seq"][seq_name]["num_frames"] == 10
+        assert osp.exists(osp.join(eval_out, "ALL.txt"))
+        assert osp.exists(osp.join(eval_out, f"{seq_name}.txt"))
+
     def test_demo(self, seq_dir, tmp_path, capsys):
         out_root = osp.join(osp.dirname(seq_dir), "outputs")
         if not osp.exists(osp.join(out_root, "anno")):
