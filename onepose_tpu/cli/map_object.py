@@ -28,6 +28,10 @@ DEFAULTS = {
     "num_leaf": 8,
     "det_type": "GT_box",
     "redo": True,  # False: skip if outputs already exist (run.py:154)
+    # Reference-layout HDF5 caches (feats-superpoint.h5 / matches.h5 under
+    # out_dir, reference extract_features.py:44-59 / match_features.py:45-85):
+    # features are loaded from cache when present, matches resume per-pair.
+    "cache": True,
 }
 
 
@@ -64,14 +68,53 @@ def run(cfg: dict) -> dict:
         print(_json.dumps(stats))
         return stats
 
-    sp = SuperPoint()
-    sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
-    feats = extract_sequence_features(
-        data_dir, sp_params, sp,
-        max_keypoints=cfg["max_keypoints"],
-        keypoint_threshold=cfg["keypoint_threshold"],
-        det_type=cfg["det_type"],
-    )
+    feats_cache = osp.join(out_dir, "feats-superpoint.h5")
+    feats = None
+    if cfg["cache"] and osp.exists(feats_cache):
+        from onepose_tpu.sfm.cache import load_features_h5
+
+        img_paths = path_utils.list_color_images(data_dir, cfg["det_type"])
+        names = [osp.basename(p) for p in img_paths]
+        try:
+            cached = load_features_h5(
+                feats_cache, names, pad_to=cfg["max_keypoints"]
+            )
+            Ks, poses = [], []
+            for p in img_paths:
+                _, K, pose = path_utils.load_frame(p, cfg["det_type"])
+                Ks.append(K)
+                poses.append(pose)
+            feats = {
+                **{
+                    k: cached[k]
+                    for k in ("keypoints", "descriptors", "scores", "mask")
+                },
+                "K": np.stack(Ks),
+                "poses": np.stack(poses),
+                "image_paths": img_paths,
+                "image_hw": cached["image_hw"],
+            }
+        except KeyError:
+            feats = None  # stale cache (image set changed): re-extract
+
+    if feats is None:
+        sp = SuperPoint()
+        sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
+        feats = extract_sequence_features(
+            data_dir, sp_params, sp,
+            max_keypoints=cfg["max_keypoints"],
+            keypoint_threshold=cfg["keypoint_threshold"],
+            det_type=cfg["det_type"],
+        )
+        if cfg["cache"]:
+            from onepose_tpu.sfm.cache import save_features_h5
+
+            save_features_h5(
+                feats_cache,
+                [osp.basename(p) for p in feats["image_paths"]],
+                feats["keypoints"], feats["descriptors"], feats["scores"],
+                feats["mask"], feats["image_hw"],
+            )
 
     if cfg["matcher"] == "nn":
 
@@ -132,6 +175,16 @@ def run(cfg: dict) -> dict:
                 )
                 out.append(np.asarray(r["matches0"][0]))
             return np.stack(out)
+
+    if cfg["cache"]:
+        from onepose_tpu.sfm.cache import CachedPairMatcher
+
+        match_pairs = CachedPairMatcher(
+            match_pairs,
+            osp.join(out_dir, "matches.h5"),
+            [osp.basename(p) for p in feats["image_paths"]],
+            feats["keypoints"].shape[1],
+        )
 
     box_path = path_utils.box3d_path(osp.dirname(data_dir))
     box = np.loadtxt(box_path) if osp.exists(box_path) else None

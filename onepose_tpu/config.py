@@ -69,6 +69,26 @@ def load_config(
     return cfg
 
 
+def format_config_tree(cfg: dict, indent: int = 0) -> str:
+    """Render the resolved config as an indented tree (the reference's
+    rich-tree pretty print, src/utils/template_utils.py:26-73, without the
+    rich dependency so it works in any log sink)."""
+    lines = []
+    pad = "  " * indent
+    for key in sorted(cfg, key=str):
+        val = cfg[key]
+        if isinstance(val, dict):
+            lines.append(f"{pad}{key}:")
+            lines.append(format_config_tree(val, indent + 1))
+        else:
+            lines.append(f"{pad}{key}: {val!r}")
+    return "\n".join(l for l in lines if l)
+
+
+def print_config(cfg: dict) -> None:
+    print(format_config_tree(cfg))
+
+
 def snapshot_config(cfg: dict, run_dir: str) -> str:
     import yaml
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from onepose_tpu.utils.precision import fp32_matmuls
+
 _PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
 
 
@@ -139,6 +141,7 @@ def _kabsch(pw: jnp.ndarray, pc: jnp.ndarray, w: jnp.ndarray) -> tuple[jnp.ndarr
     return R, t
 
 
+@fp32_matmuls
 def epnp_solve(
     pts3d: jnp.ndarray,
     pts2d: jnp.ndarray,

@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from onepose_tpu.utils.precision import fp32_matmuls
+
 
 def _solve_quartic(c4, c3, c2, c1, c0, iters: int = 40):
     """Real roots of c4 x^4 + ... + c0 via Durand-Kerner iteration.
@@ -88,6 +90,7 @@ def _solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x0, x1, x2])
 
 
+@fp32_matmuls
 def p3p_solve(
     pts3d: jnp.ndarray,
     pts2d: jnp.ndarray,

@@ -21,6 +21,7 @@ from onepose_tpu.geometry.rotations import (
     angle_axis_to_rotmat,
     rotmat_to_angle_axis,
 )
+from onepose_tpu.utils.precision import fp32_matmuls
 
 
 def _sample_minimal_sets(
@@ -75,6 +76,7 @@ def _gn_refine(R0, t0, K, pts3d, pts2d, weights, iters: int = 5, damping: float 
     return angle_axis_to_rotmat(x[:3]), x[3:]
 
 
+@fp32_matmuls
 @partial(jax.jit, static_argnames=("n_hyp", "refine_iters", "epnp_refit"))
 def ransac_pnp(
     key: jax.Array,

@@ -15,6 +15,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from onepose_tpu.utils.precision import fp32_matmuls
+
 
 def _fit_two_point(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Similarity from 2 correspondences; returns [4]: (re a, im a, re b, im b)."""
@@ -58,6 +60,7 @@ def _refit_ls(src, dst, w):
     return jnp.stack([alpha.real, alpha.imag, beta.real, beta.imag])
 
 
+@fp32_matmuls
 @partial(jax.jit, static_argnames=("n_hyp",))
 def ransac_similarity(
     key: jax.Array,

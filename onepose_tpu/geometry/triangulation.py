@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from onepose_tpu.geometry.projection import project_points
 
+from onepose_tpu.utils.precision import fp32_matmuls
+
 
 def _dlt_solve(A_sq: jnp.ndarray) -> jnp.ndarray:
     """Smallest eigenvector of symmetric [..., 4, 4] (null space of A)."""
@@ -22,6 +24,7 @@ def _dlt_solve(A_sq: jnp.ndarray) -> jnp.ndarray:
     return vecs[..., :, 0]
 
 
+@fp32_matmuls
 def triangulate_tracks_dlt(
     uv: jnp.ndarray,
     P: jnp.ndarray,
@@ -54,6 +57,7 @@ def triangulate_tracks_dlt(
     return xyz, ok
 
 
+@fp32_matmuls
 def triangulate_two_view(
     uv0: jnp.ndarray,
     uv1: jnp.ndarray,
@@ -99,6 +103,7 @@ def triangulation_residuals(
     return mean_err, frac_pos
 
 
+@fp32_matmuls
 def refine_points_gn(
     xyz0: jnp.ndarray,
     uv: jnp.ndarray,

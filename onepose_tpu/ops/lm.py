@@ -29,6 +29,8 @@ import jax.numpy as jnp
 
 from onepose_tpu.geometry.rotations import angle_axis_rotate_point
 
+from onepose_tpu.utils.precision import fp32_matmuls
+
 
 def snavely_residuals(
     points: jnp.ndarray,
@@ -158,6 +160,7 @@ def _solve_normal_equations(
     return dp, dc
 
 
+@fp32_matmuls
 @partial(
     jax.jit,
     static_argnames=("n_iters",),

@@ -14,6 +14,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from onepose_tpu.utils.precision import fp32_matmuls
+
 
 def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
     """Anti-aliased 2x downsample ([H, W] -> [H//2, W//2])."""
@@ -53,6 +55,7 @@ def _bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray
     )
 
 
+@fp32_matmuls
 @partial(
     jax.jit,
     static_argnames=("win_radius", "num_levels", "iterations"),

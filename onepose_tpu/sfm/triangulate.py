@@ -20,6 +20,7 @@ from onepose_tpu.geometry.triangulation import (
     triangulate_tracks_dlt,
     triangulation_residuals,
 )
+from onepose_tpu.utils.precision import fp32_matmuls
 
 
 def gather_track_observations(
@@ -66,6 +67,7 @@ def triangulation_angles(
     return jnp.degrees(jnp.arccos(min_cos))
 
 
+@fp32_matmuls
 @partial(
     jax.jit,
     static_argnames=("refine_iters",),

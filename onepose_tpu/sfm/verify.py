@@ -15,6 +15,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from onepose_tpu.utils.precision import fp32_matmuls
+
 
 def _skew(t: jnp.ndarray) -> jnp.ndarray:
     z = jnp.zeros_like(t[..., 0])
@@ -69,6 +71,7 @@ def symmetric_epipolar_distance(
     return 0.5 * (d0 + d1)
 
 
+@fp32_matmuls
 @partial(jax.jit, static_argnames=())
 def epipolar_verify_matches(
     uv0: jnp.ndarray,

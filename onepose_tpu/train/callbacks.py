@@ -8,6 +8,10 @@ on local artifacts instead of a hosted service:
 - BestCheckpoint         <- ModelCheckpoint(monitor='val/loss') semantics
 - MatchPRCurve           <- LogF1PrecisionRecallHeatmapToWandb (threshold
                             sweep of the dual-softmax confidence matrix)
+- ConfusionMatrixLogger  <- LogConfusionMatrixToWandb
+- GradientWatch          <- WatchModelWithWandb (gradient/parameter norms)
+- log_hyperparameters    <- template_utils.log_hparams_to_all_loggers
+                            (resolved config + model parameter counts)
 
 Callbacks receive plain dicts; the loop calls them at epoch end. All are
 no-ops on non-zero processes (multi-host safe).
@@ -23,6 +27,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 class Callback:
@@ -173,6 +178,149 @@ def match_pr_curve(
         out["recall"].append(r)
         out["f1"].append(f1)
     return out
+
+
+def match_confusion(
+    conf_matrix: np.ndarray,
+    conf_gt: np.ndarray,
+    threshold: float = 0.2,
+) -> dict:
+    """2x2 confusion of thresholded match confidences vs the GT assignment
+    (LogConfusionMatrixToWandb parity, wandb_callbacks.py:159-203, applied
+    to the matching task's binary decision per conf-matrix cell)."""
+    pred = conf_matrix > threshold
+    gt = conf_gt > 0.5
+    tp = int(np.sum(pred & gt))
+    fp = int(np.sum(pred & ~gt))
+    fn = int(np.sum(~pred & gt))
+    tn = int(np.sum(~pred & ~gt))
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "accuracy": (tp + tn) / max(tp + fp + fn + tn, 1),
+        "threshold": threshold,
+    }
+
+
+class ConfusionMatrixLogger(Callback):
+    """Log the match confusion matrix on a held-out batch each epoch."""
+
+    def __init__(
+        self,
+        val_batch: dict,
+        model,
+        threshold: float = 0.2,
+        run_dir: Optional[str] = None,
+    ):
+        self.batch = val_batch
+        self.model = model
+        self.threshold = threshold
+        self.run_dir = run_dir
+        self._apply = None
+
+    def on_train_start(self, run_dir: str, config: dict) -> None:
+        self.run_dir = self.run_dir or run_dir
+        self._apply = jax.jit(
+            lambda p, b: self.model.apply(
+                p, b["desc2d"], b["desc3d"], b["leaf_desc"],
+                b.get("mask2d"), b.get("mask3d"), b.get("leaf_mask"),
+            )["conf_matrix"]
+        )
+
+    def on_epoch_end(self, epoch: int, record: dict, state) -> None:
+        if not _is_main_process() or self._apply is None:
+            return
+        conf = np.asarray(self._apply(state.params, self.batch))
+        cm = match_confusion(
+            conf, np.asarray(self.batch["conf_gt"]), self.threshold
+        )
+        record.update(
+            confusion_tp=cm["tp"], confusion_fp=cm["fp"],
+            confusion_fn=cm["fn"], confusion_accuracy=cm["accuracy"],
+        )
+        if self.run_dir:
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(
+                osp.join(self.run_dir, f"confusion_epoch{epoch}.json"), "w"
+            ) as f:
+                json.dump(cm, f)
+
+
+class GradientWatch(Callback):
+    """Gradient observability (WatchModelWithWandb parity,
+    wandb_callbacks.py:59-71): at each epoch end, compute the focal-loss
+    gradient on a fixed watch batch and log the global gradient norm plus
+    per-top-level-module norms of gradients and parameters."""
+
+    def __init__(self, watch_batch: dict, model, run_dir: Optional[str] = None):
+        self.batch = watch_batch
+        self.model = model
+        self.run_dir = run_dir
+        self._grad = None
+
+    def on_train_start(self, run_dir: str, config: dict) -> None:
+        from onepose_tpu.train.train_step import TrainConfig, loss_fn
+
+        self.run_dir = self.run_dir or run_dir
+        cfg = TrainConfig()
+
+        def g(params, batch):
+            grads = jax.grad(
+                lambda p: loss_fn(p, self.model.apply, batch, cfg)[0]
+            )(params)
+            return grads
+
+        self._grad = jax.jit(g)
+
+    @staticmethod
+    def _module_norms(tree: dict, prefix: str) -> dict:
+        out = {}
+        params = tree.get("params", tree)
+        for mod, sub in params.items():
+            sq = jax.tree.reduce(
+                lambda a, x: a + float(jnp.sum(jnp.square(x))), sub, 0.0
+            )
+            out[f"{prefix}/{mod}"] = float(np.sqrt(sq))
+        return out
+
+    def on_epoch_end(self, epoch: int, record: dict, state) -> None:
+        if not _is_main_process() or self._grad is None:
+            return
+        grads = self._grad(state.params, self.batch)
+        gnorms = self._module_norms(grads, "grad_norm")
+        pnorms = self._module_norms(state.params, "param_norm")
+        global_norm = float(
+            np.sqrt(sum(v * v for v in gnorms.values()))
+        )
+        record["grad_global_norm"] = global_norm
+        if self.run_dir:
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(
+                osp.join(self.run_dir, f"watch_epoch{epoch}.json"), "w"
+            ) as f:
+                json.dump(
+                    {"global_grad_norm": global_norm, **gnorms, **pnorms}, f
+                )
+
+
+def count_parameters(params) -> int:
+    return int(
+        jax.tree.reduce(lambda a, x: a + int(np.prod(x.shape)), params, 0)
+    )
+
+
+def log_hyperparameters(run_dir: str, config: dict, state=None) -> dict:
+    """Write hparams.json with the resolved config and model parameter
+    counts (template_utils.log_hparams_to_all_loggers parity,
+    src/utils/template_utils.py:76-129)."""
+    rec = {"config": config}
+    if state is not None:
+        params = getattr(state, "params", state)
+        rec["model/params_total"] = count_parameters(params)
+    if _is_main_process():
+        os.makedirs(run_dir, exist_ok=True)
+        with open(osp.join(run_dir, "hparams.json"), "w") as f:
+            json.dump(rec, f, indent=1, default=str)
+    return rec
 
 
 class MatchPRCurve(Callback):

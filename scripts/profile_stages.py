@@ -47,10 +47,18 @@ def timed_scan(fn, carry_init, n=ITERS):
 
 
 def main():
+    import os
+
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("PROFILE_DTYPE", "bf16") == "bf16"
+        else jnp.float32
+    )
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    sp = SuperPoint()
-    matcher = GATsSPG()
+    sp = SuperPoint(dtype=dtype)
+    matcher = GATsSPG(dtype=dtype)
+    print(f"compute dtype: {dtype.__name__}")
 
     images = jnp.asarray(rng.random((BATCH, IMG, IMG, 1), np.float32))
     K = jnp.broadcast_to(

@@ -11,8 +11,13 @@ from onepose_tpu.train.callbacks import (
     BestCheckpoint,
     BestMetricTracker,
     CodeSnapshot,
+    ConfusionMatrixLogger,
+    GradientWatch,
     MatchPRCurve,
     TensorBoardLogger,
+    count_parameters,
+    log_hyperparameters,
+    match_confusion,
     match_pr_curve,
 )
 from onepose_tpu.utils.comm import (
@@ -97,6 +102,96 @@ class TestCallbacks:
         cb.on_epoch_end(0, record, state)
         assert "match_f1" in record
         assert osp.exists(tmp_path / "pr_curve_epoch0.json")
+
+
+def _matcher_batch(b=1, n2=8, n3=12, L=2, C=256, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "desc2d": jnp.asarray(rng.normal(size=(b, n2, C)), jnp.float32),
+        "desc3d": jnp.asarray(rng.normal(size=(b, n3, C)), jnp.float32),
+        "leaf_desc": jnp.asarray(rng.normal(size=(b, n3, L, C)), jnp.float32),
+        "mask2d": jnp.ones((b, n2), bool),
+        "mask3d": jnp.ones((b, n3), bool),
+        "leaf_mask": jnp.ones((b, n3, L), bool),
+        "conf_gt": jnp.zeros((b, n2, n3)).at[:, 0, 0].set(1.0),
+    }
+
+
+class _State:
+    def __init__(self, params):
+        self.params = params
+
+
+class TestNewCallbacks:
+    def test_match_confusion_counts(self):
+        conf = np.array([[[0.9, 0.1], [0.05, 0.3]]])
+        gt = np.array([[[1.0, 0.0], [0.0, 0.0]]])
+        cm = match_confusion(conf, gt, threshold=0.2)
+        assert (cm["tp"], cm["fp"], cm["fn"], cm["tn"]) == (1, 1, 0, 2)
+        assert cm["accuracy"] == 0.75
+
+    def test_confusion_callback(self, tmp_path):
+        from onepose_tpu.models import GATsSPG
+        import jax
+
+        model = GATsSPG(num_blocks=1)
+        batch = _matcher_batch()
+        params = model.init(
+            jax.random.PRNGKey(0),
+            batch["desc2d"], batch["desc3d"], batch["leaf_desc"],
+        )
+        cb = ConfusionMatrixLogger(batch, model, run_dir=str(tmp_path))
+        cb.on_train_start(str(tmp_path), {})
+        record = {}
+        cb.on_epoch_end(0, record, _State(params))
+        assert {"confusion_tp", "confusion_fp", "confusion_accuracy"} <= set(
+            record
+        )
+        saved = json.load(open(tmp_path / "confusion_epoch0.json"))
+        assert saved["tp"] + saved["fp"] + saved["fn"] + saved["tn"] == 8 * 12
+
+    def test_gradient_watch(self, tmp_path):
+        from onepose_tpu.models import GATsSPG
+        import jax
+
+        model = GATsSPG(num_blocks=1, fused_match=False)
+        batch = _matcher_batch()
+        params = model.init(
+            jax.random.PRNGKey(0),
+            batch["desc2d"], batch["desc3d"], batch["leaf_desc"],
+        )
+        cb = GradientWatch(batch, model, run_dir=str(tmp_path))
+        cb.on_train_start(str(tmp_path), {})
+        record = {}
+        cb.on_epoch_end(0, record, _State(params))
+        assert record["grad_global_norm"] > 0
+        watch = json.load(open(tmp_path / "watch_epoch0.json"))
+        assert any(k.startswith("grad_norm/") for k in watch)
+        assert any(k.startswith("param_norm/") for k in watch)
+
+    def test_log_hyperparameters(self, tmp_path):
+        params = {"params": {"dense": {"kernel": np.zeros((4, 5))}}}
+        rec = log_hyperparameters(
+            str(tmp_path), {"lr": 1e-3}, _State(params)
+        )
+        assert rec["model/params_total"] == 20
+        assert count_parameters(params) == 20
+        saved = json.load(open(tmp_path / "hparams.json"))
+        assert saved["config"]["lr"] == 1e-3
+
+
+class TestConfigTree:
+    def test_format_tree(self):
+        from onepose_tpu.config import format_config_tree
+
+        txt = format_config_tree(
+            {"b": {"y": 2, "x": 1}, "a": "s", "n": None}
+        )
+        lines = txt.splitlines()
+        assert lines[0] == "a: 's'"
+        assert lines[1] == "b:"
+        assert lines[2] == "  x: 1"
+        assert "n: None" in txt
 
 
 class TestLoaders:
