@@ -36,13 +36,21 @@ def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
     win = 2 * nms_radius + 1
 
     def max_pool(x):
-        return jax.lax.reduce_window(
-            x,
-            -jnp.inf,
-            jax.lax.max,
-            window_dimensions=(1, win, win),
+        # Separable max: two 1D reduce_windows (2*win compares/px) instead
+        # of one 2D window (win^2) — identical result, ~4.5x less VPU work
+        # at radius 4.
+        r = nms_radius
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, win, 1),
             window_strides=(1, 1, 1),
-            padding=[(0, 0), (nms_radius, nms_radius), (nms_radius, nms_radius)],
+            padding=[(0, 0), (r, r), (0, 0)],
+        )
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 1, win),
+            window_strides=(1, 1, 1),
+            padding=[(0, 0), (0, 0), (r, r)],
         )
 
     zeros = jnp.zeros_like(scores)

@@ -50,31 +50,29 @@ def _roll(x, shift, axis):
 def _conv_block(x, w_ref, b_ref, out_h, out_w, dtype):
     """Valid 3x3 conv on [rows, cols, cin] -> [out_h, out_w, cout], relu.
 
-    Tap-BATCHED im2col: the 9 shifted views are concatenated on the channel
-    (lane) axis into one [out_h, out_w, 9*cin] patch tensor and contracted
-    against the [9*cin, cout] weight matrix in a SINGLE MXU matmul
-    (K = 9*cin = 576 for the 64-channel stages). The round-1 revision ran
-    9 separate K=cin taps through a fori_loop/switch, which serialized 9
-    quarter-utilization matmuls and lost 12x to XLA's conv emitters
-    (docs/PERFORMANCE.md); batching the taps into K recovers the MXU."""
+    Tap-BATCHED im2col: the three ROW taps are concatenated on the channel
+    (lane) axis — row slices live on the untiled dim-0, so all operands
+    share one canonical layout (Mosaic rejects lane-concat of views with
+    mismatched sublane/lane offsets, which is what rolled/sliced COLUMN
+    taps produce: "result/input offset mismatch on non-concat dimension").
+    The three column taps are then realized by rolling the patch tensor
+    and feeding the MXU directly — K = 3*cin = 192 per matmul, three
+    matmuls accumulated in fp32. The round-1 revision ran 9 separate K=cin
+    taps through a fori_loop/switch, which serialized 9 quarter-
+    utilization matmuls and lost 12x to XLA's conv emitters."""
     cin = x.shape[-1]
     cout = w_ref.shape[-1]
     w = w_ref[:].astype(dtype)  # [3, 3, cin, cout]
-    # Column taps via roll (sliced operands carry sublane offsets that
-    # Mosaic's lane-dim concatenate rejects; rolls stay canonical, and
-    # rotate only supports 32-bit data, hence the fp32 round trip). Row
-    # taps via plain slices — the row axis is untiled, so row slices are
-    # offset-free. Net: one [rows, cols, 3*cin] bf16 patch tensor and
-    # three K=3*cin MXU matmuls accumulated in fp32.
-    x32 = x.astype(jnp.float32)
     x3 = jnp.concatenate(
-        [_roll(x32, -dx, 1) for dx in range(3)], axis=-1
-    ).astype(dtype)  # [rows, cols, 3*cin]
+        [x[dy : dy + out_h] for dy in range(3)], axis=-1
+    ).astype(jnp.float32)  # [out_h, cols, 3*cin] (dy-major lane order)
+    # w reordered to match: lanes are [dy0|dy1|dy2] x cin.
     acc = None
-    for dy in range(3):
+    for dx in range(3):
+        wk = w[:, dx].reshape(3 * cin, cout)  # [3(dy)*cin, cout]
         part = jax.lax.dot_general(
-            x3[dy : dy + out_h, :out_w, :],
-            w[dy].reshape(3 * cin, cout),
+            _roll(x3, -dx, 1)[:, :out_w, :].astype(dtype),
+            wk,
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -122,34 +120,30 @@ def _stage_kernel_image(
     i = pl.program_id(1)
     x2d = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)  # [th+8, Wp]
     c1 = w1_ref.shape[-1]
-    h1 = th + 2
 
-    # Taps via double roll on the FULL band: a sliced operand would carry
-    # an offset layout, and Mosaic only supports the [:, :, None]
-    # minor-dim broadcast on canonical layouts (roll keeps it canonical).
-    # The 9 rolled taps stack on a new lane axis and contract against the
-    # [9, c1] weight matrix in one MXU call — the same tap-batched im2col
-    # as _conv_block (K = 9 is tiny here, but so are the FLOPs).
-    w9 = w1_ref[:, :, 0, :].reshape(9, c1).astype(dtype)
-    patches = jnp.concatenate(
-        [
-            _roll(_roll(x2d, -dx, 1), -dy, 0)[:, :, None]
-            for dy in range(3)
-            for dx in range(3)
-        ],
-        axis=-1,
-    ).astype(dtype)  # [rows, Wp, 9]
-    acc3 = jax.lax.dot_general(
-        patches, w9,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # Row taps via dim-0 slices (untiled dim: always layout-canonical, so
+    # the lane-dim concat is legal), column taps via roll feeding the MXU
+    # directly — the same structure as _conv_block. K = 3 is tiny here,
+    # but so are this stage's FLOPs.
+    rows1 = th + 6
+    x3 = jnp.concatenate(
+        [x2d[dy : dy + rows1][:, :, None] for dy in range(3)], axis=-1
+    ).astype(jnp.float32)  # [rows1, Wp, 3]
+    acc3 = None
+    for dx in range(3):
+        wk = w1_ref[:, dx, 0, :].astype(dtype)  # [3(dy), c1]
+        part = jax.lax.dot_general(
+            _roll(x3, -dx, 1).astype(dtype), wk,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc3 = part if acc3 is None else acc3 + part
     y = jnp.maximum(acc3 + b1_ref[0][None, None, :], 0.0)
     y = (
         y * _edge_mask(i, th, H, W, y.shape[0], y.shape[1])[..., None]
     ).astype(dtype)
 
-    z = _conv_block(y[: h1 + 2], w2_ref, b2_ref, th, W, dtype)
+    z = _conv_block(y, w2_ref, b2_ref, th, W, dtype)
     c2 = z.shape[-1]
     if pool:
         z = jnp.max(z.reshape(th // 2, 2, W // 2, 2, c2), axis=(1, 3))

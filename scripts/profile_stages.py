@@ -19,7 +19,8 @@ from onepose_tpu.models.superpoint import SuperPoint, extract_keypoints
 from onepose_tpu.runtime.pipeline import ObjectAnnotation
 from onepose_tpu.geometry.ransac import ransac_pnp
 
-BATCH = 8
+import os as _os
+BATCH = int(_os.environ.get("PROFILE_BATCH", "8"))
 IMG = 512
 N_KPTS = 1000
 N3 = 2000
