@@ -25,6 +25,7 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     from onepose_tpu.cli import (
+        convert_cmd,
         demo,
         detect_cmd,
         infer,
@@ -41,6 +42,7 @@ def main(argv=None) -> int:
     demo.add_parser(sub)
     detect_cmd.add_parser(sub)
     merge_anno_cmd.add_parser(sub)
+    convert_cmd.add_parser(sub)
 
     args = parser.parse_args(argv)
     cfg = load_config(args._defaults, args.config, args.overrides)

@@ -170,13 +170,15 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(x)
         k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(source)
         v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(source)
-        # Torch layout parity: view(B, head_dim, H, N) splits the channel
-        # axis as [head_dim, H] — heads are the FASTER-varying factor's
-        # second slot, so channel c maps to (c % ... ) carefully: the torch
-        # reshape of [B, C, N] into [B, D, H, N] means c = d * H + h.
-        q = q.reshape(b, n, head_dim, self.num_heads).transpose(0, 1, 3, 2)
-        k = k.reshape(b, m, head_dim, self.num_heads).transpose(0, 1, 3, 2)
-        v = v.reshape(b, m, head_dim, self.num_heads).transpose(0, 1, 3, 2)
+        # Head-major channel order [h*D + d]: the head split is a plain
+        # reshape, no per-layer transpose. The torch checkpoints use
+        # c = d*H + h (their view(B, D, H, N)); conversion permutes the
+        # projection columns / merge rows once at load time
+        # (convert._attn_propagation) so the math is identical while the
+        # runtime avoids 3 relayouts per attention layer.
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k = k.reshape(b, m, self.num_heads, head_dim)
+        v = v.reshape(b, m, self.num_heads, head_dim)
         # Attention internals in fp32 (softmax / linear-attention
         # normalizers lose too much in bf16); the projections above and the
         # merge below carry the bf16 MXU benefit — they hold the FLOPs.
@@ -186,7 +188,7 @@ class MultiHeadAttention(nn.Module):
         else:
             out = masked_linear_attention(q, k, v, source_mask)
         out = out.astype(self.dtype)
-        out = out.transpose(0, 1, 3, 2).reshape(b, n, self.d_model)
+        out = out.reshape(b, n, self.d_model)
         return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(out)
 
 

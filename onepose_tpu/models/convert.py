@@ -72,14 +72,30 @@ def _mlp_params(sd: dict, prefix: str, n_dense: int, norm: str) -> dict:
     return out
 
 
-def _attn_propagation(sd: dict, prefix: str, norm: str) -> dict:
+def _head_perm(d_model: int, num_heads: int) -> np.ndarray:
+    """Channel permutation torch head order -> this package's head-major
+    order: torch's view(B, D, H, N) means channel c = d*H + h; our models
+    reshape to [B, N, H, D], i.e. channel c' = h*D + d. perm[c'] = c."""
+    D = d_model // num_heads
+    return np.array(
+        [d * num_heads + h for h in range(num_heads) for d in range(D)]
+    )
+
+
+def _attn_propagation(
+    sd: dict, prefix: str, norm: str, num_heads: int = 4
+) -> dict:
+    q = _conv1d_as_dense(sd, f"{prefix}.attn.proj.0")
+    k = _conv1d_as_dense(sd, f"{prefix}.attn.proj.1")
+    v = _conv1d_as_dense(sd, f"{prefix}.attn.proj.2")
+    merge = _conv1d_as_dense(sd, f"{prefix}.attn.merge")
+    perm = _head_perm(q["kernel"].shape[1], num_heads)
+    for p in (q, k, v):
+        p["kernel"] = p["kernel"][:, perm]
+        p["bias"] = p["bias"][perm]
+    merge["kernel"] = merge["kernel"][perm, :]
     return {
-        "attn": {
-            "proj_q": _conv1d_as_dense(sd, f"{prefix}.attn.proj.0"),
-            "proj_k": _conv1d_as_dense(sd, f"{prefix}.attn.proj.1"),
-            "proj_v": _conv1d_as_dense(sd, f"{prefix}.attn.proj.2"),
-            "merge": _conv1d_as_dense(sd, f"{prefix}.attn.merge"),
-        },
+        "attn": {"proj_q": q, "proj_k": k, "proj_v": v, "merge": merge},
         "mlp": _mlp_params(sd, f"{prefix}.mlp", 2, norm),
     }
 

@@ -304,3 +304,42 @@ class TestMapResume:
         second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert second.get("skipped_existing") is True
         assert second["num_points3d"] == first["num_points3d"]
+
+
+class TestConvertCLI:
+    def test_convert_superpoint(self, tmp_path, capsys):
+        torch = pytest.importorskip("torch")
+        import os
+        import sys as _sys
+
+        REF = "/root/reference"
+        if not osp.isdir(REF):
+            pytest.skip("reference repo not mounted")
+        if REF not in _sys.path:
+            _sys.path.insert(0, REF)
+        from src.models.extractors.SuperPoint.superpoint import (
+            SuperPoint as TorchSP,
+        )
+
+        torch.manual_seed(0)
+        tsp = TorchSP({}).eval()
+        pth = str(tmp_path / "sp.pth")
+        torch.save(tsp.state_dict(), pth)
+
+        out = str(tmp_path / "sp.msgpack")
+        rc = cli_main(["convert", "model=superpoint", f"weights={pth}",
+                       f"out={out}"])
+        assert rc == 0
+        assert osp.exists(out)
+
+        # The converted checkpoint loads into our model and runs.
+        import jax.numpy as jnp
+        from onepose_tpu.cli.common import load_superpoint_params
+        from onepose_tpu.models import SuperPoint
+
+        model = SuperPoint()
+        params = load_superpoint_params(model, out)
+        d = model.apply(
+            params, jnp.zeros((1, 64, 64, 1), jnp.float32)
+        )
+        assert d["score_map"].shape == (1, 64, 64)
