@@ -45,6 +45,10 @@ class GATsSPG(nn.Module):
     # inference-only. None = auto (TPU backend). TRAINING MUST PASS False
     # (the focal loss consumes conf_matrix).
     fused_match: Optional[bool] = None
+    # Fused [GATs, self, cross] block kernel (ops/pallas/gats_block): each
+    # block runs as ONE Pallas call with activations resident in VMEM.
+    # Inference-only (no custom VJP); opt-in per the kernel policy.
+    block_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,7 +78,7 @@ class GATsSPG(nn.Module):
         leaves = leaf_desc.astype(self.dtype)
 
         for blk in range(self.num_blocks):
-            x3 = GraphAttentionLayer(
+            gats = GraphAttentionLayer(
                 in_features=self.d_model,
                 out_features=self.d_model,
                 include_self=self.include_self,
@@ -83,24 +87,47 @@ class GATsSPG(nn.Module):
                 use_pallas=self.gats_use_pallas,
                 dtype=self.dtype,
                 name=f"gats_{blk}",
-            )(leaves, x3, leaf_mask)
-
-            # Self attention (linear), residual. ONE layer serves both
-            # streams (shared weights), matching the reference GNN loop
-            # (GATs_SuperGlue.py:79-83).
+            )
+            # Self/cross attention (linear), residual. ONE layer serves
+            # both streams (shared weights), matching the reference GNN
+            # loop (GATs_SuperGlue.py:74-83).
             self_layer = AttentionalPropagation(
                 self.d_model, self.num_heads, kind="linear", norm="instance",
                 dtype=self.dtype, name=f"self_{blk}",
             )
-            x2 = x2 + self_layer(x2, x2, mask2d, mask2d)
-            x3 = x3 + self_layer(x3, x3, mask3d, mask3d)
-
-            # Cross attention (linear), residual; shared weights likewise
-            # (GATs_SuperGlue.py:74-78).
             cross_layer = AttentionalPropagation(
                 self.d_model, self.num_heads, kind="linear", norm="instance",
                 dtype=self.dtype, name=f"cross_{blk}",
             )
+
+            if self.block_fused:
+                # Materialize identical param trees with tiny dummy calls
+                # (outputs are dead code), then run the whole block as one
+                # Pallas call per example.
+                from onepose_tpu.ops.pallas.gats_block import (
+                    fused_gats_block,
+                    pack_block_params,
+                )
+
+                _ = gats(leaves[:, :1], x3[:, :1], None)
+                _ = self_layer(x2[:, :1], x2[:, :1])
+                _ = cross_layer(x2[:, :1], x3[:, :1])
+                packed = pack_block_params(
+                    gats.variables["params"],
+                    self_layer.variables["params"],
+                    cross_layer.variables["params"],
+                )
+                x2, x3 = fused_gats_block(
+                    x2, x3, leaves, mask2d, mask3d, leaf_mask,
+                    packed, num_heads=self.num_heads, dtype=self.dtype,
+                )
+                x2 = x2.astype(self.dtype)
+                x3 = x3.astype(self.dtype)
+                continue
+
+            x3 = gats(leaves, x3, leaf_mask)
+            x2 = x2 + self_layer(x2, x2, mask2d, mask2d)
+            x3 = x3 + self_layer(x3, x3, mask3d, mask3d)
             d2 = cross_layer(x2, x3, mask3d, mask2d)
             d3 = cross_layer(x3, x2, mask2d, mask3d)
             x2, x3 = x2 + d2, x3 + d3

@@ -274,3 +274,66 @@ class TestDualSoftmaxMatch:
         )
         assert op["conf_matrix"] is None
         assert ox["conf_matrix"] is not None
+
+
+class TestFusedGatsBlock:
+    def _setup(self, seed=0, b=2, n2=16, n3=24, L=4, C=256):
+        import jax
+
+        from onepose_tpu.models.gats_spg import GATsSPG
+
+        rng = np.random.default_rng(seed)
+        desc2d = jnp.asarray(rng.normal(size=(b, n2, C)), jnp.float32)
+        desc3d = jnp.asarray(rng.normal(size=(b, n3, C)), jnp.float32)
+        leaves = jnp.asarray(rng.normal(size=(b, n3, L, C)), jnp.float32)
+        mask2 = jnp.asarray(rng.random((b, n2)) < 0.8)
+        mask3 = jnp.asarray(rng.random((b, n3)) < 0.8)
+        leaf_mask = jnp.asarray(rng.random((b, n3, L)) < 0.7)
+        args = (desc2d, desc3d, leaves, mask2, mask3, leaf_mask)
+        ref_model = GATsSPG(num_blocks=2, block_fused=False)
+        params = ref_model.init(jax.random.PRNGKey(1), *args)
+        return args, params, ref_model
+
+    def test_matches_xla_path(self):
+        from onepose_tpu.models.gats_spg import GATsSPG
+
+        args, params, ref_model = self._setup()
+        fused_model = GATsSPG(num_blocks=2, block_fused=True)
+
+        ref = ref_model.apply(params, *args)
+        out = fused_model.apply(params, *args)
+
+        np.testing.assert_allclose(
+            np.asarray(out["conf_matrix"]),
+            np.asarray(ref["conf_matrix"]),
+            atol=5e-5, rtol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["matches0"]), np.asarray(ref["matches0"])
+        )
+
+    def test_no_mask(self):
+        from onepose_tpu.models.gats_spg import GATsSPG
+
+        args, params, ref_model = self._setup(seed=3)
+        args = args[:3] + (None, None, None)
+        fused_model = GATsSPG(num_blocks=2, block_fused=True)
+        ref = ref_model.apply(params, *args)
+        out = fused_model.apply(params, *args)
+        np.testing.assert_allclose(
+            np.asarray(out["conf_matrix"]),
+            np.asarray(ref["conf_matrix"]),
+            atol=5e-5, rtol=1e-4,
+        )
+
+    def test_param_tree_identical(self):
+        import jax
+
+        from onepose_tpu.models.gats_spg import GATsSPG
+
+        args, params, _ = self._setup(seed=5)
+        fused_model = GATsSPG(num_blocks=2, block_fused=True)
+        p2 = fused_model.init(jax.random.PRNGKey(1), *args)
+        t1 = jax.tree.structure(params)
+        t2 = jax.tree.structure(p2)
+        assert t1 == t2
