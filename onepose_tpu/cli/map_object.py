@@ -23,16 +23,62 @@ DEFAULTS = {
     "matcher": "nn",  # 'nn' | 'superglue'
     "max_keypoints": 1024,
     "keypoint_threshold": 0.005,
+    # SuperGlue match threshold for SfM pair matching — the reference's
+    # SfM config uses 0.7, not the model default 0.2
+    # (src/sfm/match_features.py:8-17).
+    "match_threshold": 0.7,
     "num_covis": 10,
     "max_points3d": 2500,
     "num_leaf": 8,
     "det_type": "GT_box",
-    "redo": True,  # False: skip if outputs already exist (run.py:154)
+    # redo=True (the documented clean-rebuild flag, run.py:154) rebuilds
+    # everything and drops both HDF5 caches; redo=False resumes: a
+    # completed map is skipped, a partial one reuses caches.
+    "redo": True,
     # Reference-layout HDF5 caches (feats-superpoint.h5 / matches.h5 under
     # out_dir, reference extract_features.py:44-59 / match_features.py:45-85):
     # features are loaded from cache when present, matches resume per-pair.
+    # Caches carry a fingerprint (extraction/matcher config + weights hash);
+    # a mismatch forces re-extraction, and re-extracted features invalidate
+    # the match cache (indices would desync from the new keypoints).
     "cache": True,
 }
+
+
+def _file_hash(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()[:16]
+
+
+def _extraction_fingerprint(cfg: dict) -> str:
+    w = cfg["weights"]["superpoint"]
+    return json.dumps(
+        {
+            "max_keypoints": cfg["max_keypoints"],
+            "keypoint_threshold": cfg["keypoint_threshold"],
+            "det_type": cfg["det_type"],
+            "weights": _file_hash(w) if w and osp.exists(w) else "random-init",
+        },
+        sort_keys=True,
+    )
+
+
+def _matcher_fingerprint(cfg: dict, feature_fingerprint: str) -> str:
+    w = cfg["weights"]["superglue"]
+    return json.dumps(
+        {
+            "matcher": cfg["matcher"],
+            "match_threshold": cfg["match_threshold"],
+            "weights": _file_hash(w) if w and osp.exists(w) else "random-init",
+            "features": feature_fingerprint,
+        },
+        sort_keys=True,
+    )
 
 
 def run(cfg: dict) -> dict:
@@ -69,33 +115,51 @@ def run(cfg: dict) -> dict:
         return stats
 
     feats_cache = osp.join(out_dir, "feats-superpoint.h5")
+    matches_cache = osp.join(out_dir, "matches.h5")
+    feat_fp = _extraction_fingerprint(cfg)
+
+    if cfg["redo"]:
+        # Clean rebuild: caches are part of the outputs being rebuilt.
+        for p in (feats_cache, matches_cache):
+            if osp.exists(p):
+                os.remove(p)
+
     feats = None
     if cfg["cache"] and osp.exists(feats_cache):
-        from onepose_tpu.sfm.cache import load_features_h5
+        from onepose_tpu.sfm.cache import load_features_h5, read_fingerprint
 
-        img_paths = path_utils.list_color_images(data_dir, cfg["det_type"])
-        names = [osp.basename(p) for p in img_paths]
-        try:
-            cached = load_features_h5(
-                feats_cache, names, pad_to=cfg["max_keypoints"]
+        stored_fp = read_fingerprint(feats_cache)
+        # A missing fingerprint means a reference-produced cache: accept it
+        # as-is (interop). A present-but-different one means our own config
+        # or weights changed: re-extract.
+        if stored_fp is not None and stored_fp != feat_fp:
+            feats = None
+        else:
+            img_paths = path_utils.list_color_images(
+                data_dir, cfg["det_type"]
             )
-            Ks, poses = [], []
-            for p in img_paths:
-                _, K, pose = path_utils.load_frame(p, cfg["det_type"])
-                Ks.append(K)
-                poses.append(pose)
-            feats = {
-                **{
-                    k: cached[k]
-                    for k in ("keypoints", "descriptors", "scores", "mask")
-                },
-                "K": np.stack(Ks),
-                "poses": np.stack(poses),
-                "image_paths": img_paths,
-                "image_hw": cached["image_hw"],
-            }
-        except KeyError:
-            feats = None  # stale cache (image set changed): re-extract
+            names = [osp.basename(p) for p in img_paths]
+            try:
+                cached = load_features_h5(
+                    feats_cache, names, pad_to=cfg["max_keypoints"]
+                )
+                Ks, poses = [], []
+                for p in img_paths:
+                    _, K, pose = path_utils.load_frame(p, cfg["det_type"])
+                    Ks.append(K)
+                    poses.append(pose)
+                feats = {
+                    **{
+                        k: cached[k]
+                        for k in ("keypoints", "descriptors", "scores", "mask")
+                    },
+                    "K": np.stack(Ks),
+                    "poses": np.stack(poses),
+                    "image_paths": img_paths,
+                    "image_hw": cached["image_hw"],
+                }
+            except KeyError:
+                feats = None  # stale cache (image set changed): re-extract
 
     if feats is None:
         sp = SuperPoint()
@@ -106,6 +170,9 @@ def run(cfg: dict) -> dict:
             keypoint_threshold=cfg["keypoint_threshold"],
             det_type=cfg["det_type"],
         )
+        # Keypoints changed: cached match indices would desync.
+        if osp.exists(matches_cache):
+            os.remove(matches_cache)
         if cfg["cache"]:
             from onepose_tpu.sfm.cache import save_features_h5
 
@@ -114,6 +181,7 @@ def run(cfg: dict) -> dict:
                 [osp.basename(p) for p in feats["image_paths"]],
                 feats["keypoints"], feats["descriptors"], feats["scores"],
                 feats["mask"], feats["image_hw"],
+                fingerprint=feat_fp,
             )
 
     if cfg["matcher"] == "nn":
@@ -132,27 +200,36 @@ def run(cfg: dict) -> dict:
             return np.stack(out)
 
     else:
-        from onepose_tpu.cli.common import load_matcher_params  # noqa: F401
         from onepose_tpu.models import SuperGlue
         from onepose_tpu.models.convert import superglue_from_torch
         import jax
 
-        sg = SuperGlue()
+        sg = SuperGlue(match_threshold=cfg["match_threshold"])
         w = cfg["weights"]["superglue"]
-        if w and w.endswith((".pth", ".tar", ".pt")):
-            import torch
 
-            sd = torch.load(w, map_location="cpu")
-            sg_params = superglue_from_torch(sd.get("state_dict", sd))
-        else:
+        def _init_sg_params():
             n = cfg["max_keypoints"]
-            sg_params = sg.init(
+            return sg.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, n, 2)), jnp.zeros((1, n, 2)),
                 jnp.zeros((1, n, 256)), jnp.zeros((1, n, 256)),
                 jnp.zeros((1, n)), jnp.zeros((1, n)),
                 feats["image_hw"], feats["image_hw"],
             )
+
+        if w and w.endswith((".pth", ".tar", ".pt", ".ckpt")):
+            import torch
+
+            sd = torch.load(w, map_location="cpu")
+            sg_params = superglue_from_torch(sd.get("state_dict", sd))
+        elif w:
+            # Torch-free serving: weights converted offline by the
+            # `convert` command (msgpack checkpoint).
+            from onepose_tpu.utils.checkpoint import load_checkpoint
+
+            sg_params = load_checkpoint(w, _init_sg_params())
+        else:
+            sg_params = _init_sg_params()
         sg_apply = jax.jit(
             lambda p, *a: sg.apply(
                 p, *a, feats["image_hw"], feats["image_hw"]
@@ -181,9 +258,10 @@ def run(cfg: dict) -> dict:
 
         match_pairs = CachedPairMatcher(
             match_pairs,
-            osp.join(out_dir, "matches.h5"),
+            matches_cache,
             [osp.basename(p) for p in feats["image_paths"]],
             feats["keypoints"].shape[1],
+            fingerprint=_matcher_fingerprint(cfg, feat_fp),
         )
 
     box_path = path_utils.box3d_path(osp.dirname(data_dir))

@@ -84,7 +84,10 @@ class GATsSPG(nn.Module):
                 include_self=self.include_self,
                 additional=self.additional,
                 with_linear_transform=self.with_linear_transform,
-                use_pallas=self.gats_use_pallas,
+                # Under block_fused this layer only materializes params via
+                # a tiny dummy call (N3=1) — force the XLA path so the GATs
+                # Pallas kernel is never invoked at tile-unfriendly shapes.
+                use_pallas=False if self.block_fused else self.gats_use_pallas,
                 dtype=self.dtype,
                 name=f"gats_{blk}",
             )

@@ -30,6 +30,19 @@ def names_to_pair(name0: str, name1: str) -> str:
     return "_".join((name0.replace("/", "-"), name1.replace("/", "-")))
 
 
+FINGERPRINT_ATTR = "onepose_fingerprint"
+
+
+def read_fingerprint(path: str) -> Optional[str]:
+    """Root-attribute fingerprint of the config/weights that produced a
+    cache file; None for caches without one (e.g. reference-produced)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        v = f.attrs.get(FINGERPRINT_ATTR)
+    return None if v is None else str(v)
+
+
 def save_features_h5(
     path: str,
     image_names: Sequence[str],
@@ -38,16 +51,22 @@ def save_features_h5(
     scores: np.ndarray,
     mask: np.ndarray,
     image_hw: tuple[int, int],
+    fingerprint: Optional[str] = None,
 ) -> str:
     """Write padded [F, N, ...] features as a ragged reference-layout cache.
 
     Only valid (masked-True) slots are persisted; descriptors are stored
-    [C, N] per image like the reference extractor output.
+    [C, N] per image like the reference extractor output. `fingerprint`
+    (extraction config + weights hash) is stored as a root attribute so a
+    later run with different parameters re-extracts instead of silently
+    reusing stale features.
     """
     import h5py
 
     os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
     with h5py.File(path, "w") as f:
+        if fingerprint is not None:
+            f.attrs[FINGERPRINT_ATTR] = fingerprint
         for i, name in enumerate(image_names):
             m = mask[i].astype(bool)
             grp = f.create_group(name)
@@ -81,16 +100,39 @@ def load_features_h5(
     import h5py
 
     with h5py.File(path, "r") as f:
-        names = list(image_names) if image_names is not None else []
-        if not names:
-            # Group names may contain '/' (nested groups): walk leaves that
-            # hold a 'keypoints' dataset.
-            def visit(key, item):
-                if isinstance(item, h5py.Group) and "keypoints" in item:
-                    names.append(key)
+        # Group names may contain '/' (nested groups): walk leaves that
+        # hold a 'keypoints' dataset.
+        available = []
 
-            f.visititems(visit)
-            names.sort()
+        def visit(key, item):
+            if isinstance(item, h5py.Group) and "keypoints" in item:
+                available.append(key)
+
+        f.visititems(visit)
+        available.sort()
+
+        if image_names is not None:
+            # Reference-produced caches key groups by the full relative
+            # image path (extract_features.py:44-59) while callers here pass
+            # basenames — fall back to a unique basename match so reference
+            # caches can seed the pipeline without re-extraction.
+            by_base: dict = {}
+            for a in available:
+                by_base.setdefault(osp.basename(a), []).append(a)
+            names = []
+            for name in image_names:
+                if name in available:
+                    names.append(name)
+                    continue
+                cands = by_base.get(osp.basename(name), [])
+                if len(cands) != 1:
+                    raise KeyError(
+                        f"image {name!r} not in cache {path} "
+                        f"({len(cands)} basename candidates)"
+                    )
+                names.append(cands[0])
+        else:
+            names = available
 
         kps, descs, scs, hw = [], [], [], None
         for name in names:
@@ -206,13 +248,31 @@ class CachedPairMatcher:
     computed by the wrapped matcher and appended to the cache file. This is
     the resume affordance the reference gets from its
     `if pair in match_file: continue` loop (match_features.py:50-54).
+
+    `fingerprint` ties the cache to the matcher config + upstream feature
+    fingerprint: an existing cache with a different fingerprint is dropped
+    (match indices would desync from re-extracted keypoints).
     """
 
-    def __init__(self, match_pair_fn, cache_path, image_names, n_kpts):
+    def __init__(
+        self,
+        match_pair_fn,
+        cache_path,
+        image_names,
+        n_kpts,
+        fingerprint: Optional[str] = None,
+    ):
         self.fn = match_pair_fn
         self.path = cache_path
         self.names = list(image_names)
         self.n_kpts = n_kpts
+        self.fingerprint = fingerprint
+        if (
+            fingerprint is not None
+            and osp.exists(cache_path)
+            and read_fingerprint(cache_path) != fingerprint
+        ):
+            os.remove(cache_path)
 
     def __call__(self, pairs: np.ndarray) -> np.ndarray:
         import h5py
@@ -239,6 +299,8 @@ class CachedPairMatcher:
             import h5py
 
             with h5py.File(self.path, mode) as f:
+                if self.fingerprint is not None and mode == "w":
+                    f.attrs[FINGERPRINT_ATTR] = self.fingerprint
                 for p_local, (i, j) in enumerate(pairs[todo]):
                     key = names_to_pair(self.names[i], self.names[j])
                     rev = names_to_pair(self.names[j], self.names[i])

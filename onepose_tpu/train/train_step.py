@@ -50,8 +50,18 @@ class TrainState(train_state.TrainState):
 
 
 def make_lr_schedule(cfg: TrainConfig):
+    """MultiStepLR with milestones in epochs (reference
+    src/models/GATsSPG_lightning_model.py:117-127, milestones [5,10,15,20]).
+
+    The schedule is indexed by the inner optimizer's update count. Under
+    `optax.MultiSteps(every_k_schedule=accumulate)` that counter advances
+    once per `accumulate` micro-batches, so epoch boundaries (measured in
+    dataset batches, `steps_per_epoch`) must be divided by the accumulation
+    factor — otherwise milestones fire `accumulate`x too late.
+    """
+    updates_per_epoch = max(cfg.steps_per_epoch // max(cfg.accumulate, 1), 1)
     boundaries = {
-        int(m * cfg.steps_per_epoch): cfg.lr_gamma for m in cfg.milestones
+        int(m * updates_per_epoch): cfg.lr_gamma for m in cfg.milestones
     }
     return optax.piecewise_constant_schedule(cfg.lr, boundaries)
 

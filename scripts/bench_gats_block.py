@@ -53,9 +53,12 @@ if ONLY != "fused":
     t_x, ox = bench(False)
     print(f"xla:    {t_x:7.2f} ms/iter (b={B})", flush=True)
 else:
-    t_x, ox = 3.85, None
+    t_x, ox = None, None  # baseline skipped: report the fused time only
 t_p, op = bench(True)
-print(f"fused:  {t_p:7.2f} ms/iter  speedup {t_x / t_p:.2f}x")
+if t_x is None:
+    print(f"fused:  {t_p:7.2f} ms/iter  (XLA baseline skipped)")
+else:
+    print(f"fused:  {t_p:7.2f} ms/iter  speedup {t_x / t_p:.2f}x")
 if ox is not None:
     m_x = np.asarray(ox["matches0"])
     m_p = np.asarray(op["matches0"])

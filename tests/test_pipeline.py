@@ -2,6 +2,7 @@
 multi-device shardings (on the 8-device CPU mesh from conftest)."""
 
 import chex
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,7 @@ class TestNNMatcherPose:
 
 
 class TestPipeline:
+    @pytest.mark.slow
     def test_pipeline_shapes_and_finiteness(self):
         rng = np.random.default_rng(1)
         b, img, n_kpts, n3d, L = 2, 64, 64, 32, 4
@@ -113,6 +115,7 @@ class TestPipeline:
         # Unmatched / failed frames fall back to finite identity-like poses.
         assert np.all(np.isfinite(np.asarray(out["matching_scores0"])))
 
+    @pytest.mark.slow
     def test_bf16_serving_default_agrees_with_fp32(self):
         """Default-constructed PosePipeline computes the GNN/convs in bf16
         (serving default); keypoints must agree with the fp32 pipeline at
@@ -191,6 +194,7 @@ class TestTraining:
             float(focal_loss(jnp.zeros((1, 2, 2)), target))
         )
 
+    @pytest.mark.slow
     def test_train_step_descends(self):
         rng = np.random.default_rng(2)
         batch = self._batch(rng)
@@ -205,6 +209,64 @@ class TestTraining:
         assert losses[-1] < losses[0], losses
         assert np.all(np.isfinite(losses))
 
+    def test_lr_milestones_respect_accumulation(self):
+        """Milestones are epochs; the schedule is indexed by optimizer
+        updates, which advance once per `accumulate` micro-batches under
+        optax.MultiSteps. The LR must halve exactly at each epoch boundary
+        for accumulate in {1, 2} (reference MultiStepLR semantics,
+        src/models/GATsSPG_lightning_model.py:117-127)."""
+        import optax
+
+        from onepose_tpu.train.train_step import (
+            make_lr_schedule,
+            make_optimizer,
+        )
+
+        for accumulate in (1, 2):
+            cfg = TrainConfig(
+                lr=1e-3,
+                lr_gamma=0.5,
+                milestones=(5, 10),
+                steps_per_epoch=100,
+                accumulate=accumulate,
+            )
+            sched = make_lr_schedule(cfg)
+            updates_per_epoch = cfg.steps_per_epoch // accumulate
+            np.testing.assert_allclose(
+                float(sched(5 * updates_per_epoch - 1)), 1e-3, rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                float(sched(5 * updates_per_epoch)), 5e-4, rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                float(sched(10 * updates_per_epoch)), 2.5e-4, rtol=1e-6
+            )
+
+            # End-to-end: after 5 epochs of micro-batches the optimizer's
+            # update count must sit exactly at the first milestone, so the
+            # very next update uses the halved LR.
+            if accumulate > 1:
+                tx = make_optimizer(cfg)
+                params = {"w": jnp.zeros(4)}
+                grads = {"w": jnp.ones(4)}
+                opt_state = tx.init(params)
+                n_micro = 5 * cfg.steps_per_epoch
+
+                def body(state, _):
+                    _, state = tx.update(grads, state, params)
+                    return state, None
+
+                opt_state, _ = jax.lax.scan(
+                    body, opt_state, None, length=n_micro
+                )
+                assert isinstance(opt_state, optax.MultiStepsState)
+                n_updates = int(opt_state.gradient_step)
+                assert n_updates == n_micro // accumulate
+                np.testing.assert_allclose(
+                    float(sched(n_updates)), 5e-4, rtol=1e-6
+                )
+
+    @pytest.mark.slow
     def test_train_step_sharded_matches_single(self):
         """The same step on a (4, 2) mesh with dp + points sharding must
         produce the same loss as the unsharded run."""
@@ -248,6 +310,7 @@ class TestTraining:
 
 
 class TestShardedPipeline:
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self):
         """Data-parallel SPMD serving over the 8-device mesh must produce
         the same poses as the single-device path (fp32 CPU: exact)."""

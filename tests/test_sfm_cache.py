@@ -10,6 +10,7 @@ from onepose_tpu.sfm.cache import (  # noqa: E402
     load_features_h5,
     load_matches_h5,
     names_to_pair,
+    read_fingerprint,
     save_features_h5,
     save_matches_h5,
 )
@@ -69,6 +70,50 @@ class TestFeatureCache:
         # Auto-discovered names (nested group path) also load.
         loaded = load_features_h5(path)
         assert loaded["image_names"] == ["seq/frame0.png"]
+
+    def test_fingerprint_round_trip(self, tmp_path):
+        rng = np.random.default_rng(5)
+        feats = _fake_feats(rng, F=1)
+        path = str(tmp_path / "feats.h5")
+        save_features_h5(
+            path, ["a.png"], feats["keypoints"], feats["descriptors"],
+            feats["scores"], feats["mask"], (8, 8), fingerprint="cfg-v1",
+        )
+        assert read_fingerprint(path) == "cfg-v1"
+        # Reference-produced caches carry no fingerprint attribute.
+        path2 = str(tmp_path / "ref.h5")
+        save_features_h5(
+            path2, ["a.png"], feats["keypoints"], feats["descriptors"],
+            feats["scores"], feats["mask"], (8, 8),
+        )
+        assert read_fingerprint(path2) is None
+
+    def test_reference_fullpath_keys_resolved_by_basename(self, tmp_path):
+        """Reference caches key groups by full relative image path
+        (extract_features.py:44-59); lookups by basename must resolve to
+        the unique suffix match instead of raising."""
+        rng = np.random.default_rng(6)
+        feats = _fake_feats(rng, F=2)
+        path = str(tmp_path / "feats.h5")
+        save_features_h5(
+            path, ["color/0.png", "color/1.png"], feats["keypoints"],
+            feats["descriptors"], feats["scores"], feats["mask"], (8, 8),
+        )
+        loaded = load_features_h5(path, ["0.png", "1.png"], pad_to=10)
+        for i in range(2):
+            m = feats["mask"][i]
+            np.testing.assert_allclose(
+                loaded["keypoints"][i][m], feats["keypoints"][i][m]
+            )
+        # Ambiguous basenames still raise.
+        path_amb = str(tmp_path / "amb.h5")
+        f4 = _fake_feats(rng, F=2)
+        save_features_h5(
+            path_amb, ["seq1/0.png", "seq2/0.png"], f4["keypoints"],
+            f4["descriptors"], f4["scores"], f4["mask"], (8, 8),
+        )
+        with pytest.raises(KeyError):
+            load_features_h5(path_amb, ["0.png"])
 
     def test_stale_cache_raises(self, tmp_path):
         rng = np.random.default_rng(2)
@@ -149,3 +194,30 @@ class TestCachedPairMatcher:
         cm2 = CachedPairMatcher(exploding, path, names, N)
         r3 = cm2(np.concatenate([p1, p2[1:]]))
         np.testing.assert_array_equal(r3[:2], r1)
+
+    def test_fingerprint_mismatch_drops_cache(self, tmp_path):
+        N = 4
+        names = ["a", "b"]
+        calls = []
+
+        def matcher(pairs):
+            calls.append(np.asarray(pairs).copy())
+            out = np.full((len(pairs), N), -1, np.int64)
+            out[:, 0] = 1
+            return out
+
+        path = str(tmp_path / "matches.h5")
+        pairs = np.array([[0, 1]])
+        cm = CachedPairMatcher(matcher, path, names, N, fingerprint="v1")
+        cm(pairs)
+        assert read_fingerprint(path) == "v1" and len(calls) == 1
+
+        # Same fingerprint: cache is reused (no new matcher calls).
+        CachedPairMatcher(matcher, path, names, N, fingerprint="v1")(pairs)
+        assert len(calls) == 1
+
+        # Different fingerprint (e.g. features re-extracted): cache dropped,
+        # pair recomputed, new fingerprint persisted.
+        CachedPairMatcher(matcher, path, names, N, fingerprint="v2")(pairs)
+        assert len(calls) == 2
+        assert read_fingerprint(path) == "v2"
