@@ -66,6 +66,26 @@ def load_matcher_params(
     return load_checkpoint(weights, example)
 
 
+def build_matcher(cfg: dict):
+    """Construct the 2D-3D matcher per cfg['matcher']:
+    - 'gats' (default): the learned GATsSPG (reference inference path,
+      inference.py:49-77), params from cfg['weights']['matcher'];
+    - 'nn': descriptor mutual-NN (NNMatcher2D3D) — the weight-free oracle
+      path used by the end-to-end accuracy gate and quick diagnostics.
+    Returns (matcher, params)."""
+    kind = cfg.get("matcher", "gats")
+    if kind == "nn":
+        from onepose_tpu.models.nn_matcher import NNMatcher2D3D
+
+        m = NNMatcher2D3D(
+            distance_thresh=cfg.get("nn_distance_thresh", 0.7)
+        )
+        return m, {}
+    assert kind == "gats", f"unknown matcher {kind!r}"
+    matcher = GATsSPG()
+    return matcher, load_matcher_params(matcher, cfg["weights"]["matcher"])
+
+
 def build_feature_detector(
     db_seq_root: str,
     sp_params,

@@ -9,7 +9,13 @@ Reference equivalent: `python inference_demo.py +experiment=test_demo`
   PnP inlier count drops below `redetect_inliers` (reference threshold 8,
   inference_demo.py:204-210);
 - crop -> SuperPoint -> GATsSPG -> RANSAC PnP (the fused PosePipeline);
-- optional BATracker refinement; demo video with the reprojected 3D box.
+- with use_tracking=True (reference inference_demo.py:253-299): the full
+  matcher pipeline runs only on keyframe-cadence frames (kf_interval=5,
+  reference track_interval) and re-seeds the BATracker via update_kf
+  (pose-jump rejection); in-between frames run SuperPoint + tracker.track()
+  only (LK flow -> PnP init -> NN match -> window BA), which skips the
+  GATsSPG matcher and RANSAC entirely;
+- demo video with the reprojected 3D box; per-stage StageTimer report.
 """
 
 from __future__ import annotations
@@ -27,6 +33,8 @@ DEFAULTS = {
     "anno_dir": None,
     "box_path": None,  # defaults to <data_dir>/../box3d_corners.txt
     "weights": {"superpoint": None, "matcher": None},
+    "matcher": "gats",  # 'gats' (learned) | 'nn' (descriptor mutual-NN)
+    "nn_distance_thresh": 0.7,
     "max_keypoints": 1000,
     "shape3d": 2000,
     "num_leaf": 8,
@@ -34,6 +42,7 @@ DEFAULTS = {
     "redetect_inliers": 8,
     "crop_size": 512,
     "use_tracking": False,
+    "kf_interval": 5,  # matcher/keyframe cadence (reference track_interval)
     "out_dir": "runs/demo",
     "make_video": True,
 }
@@ -45,12 +54,12 @@ def run(cfg: dict) -> dict:
 
     from onepose_tpu.cli.common import (
         build_feature_detector,
-        load_matcher_params,
+        build_matcher,
         load_superpoint_params,
     )
     from onepose_tpu.data import paths as path_utils
     from onepose_tpu.data.anno_io import annotation_from_npz_dir
-    from onepose_tpu.models import GATsSPG, SuperPoint
+    from onepose_tpu.models import SuperPoint
     from onepose_tpu.models.superpoint import extract_keypoints
     from onepose_tpu.runtime.pipeline import PosePipeline
     from onepose_tpu.utils.vis import save_demo_image, make_video
@@ -69,9 +78,8 @@ def run(cfg: dict) -> dict:
     )
 
     sp = SuperPoint()
-    matcher = GATsSPG()
     sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
-    m_params = load_matcher_params(matcher, cfg["weights"]["matcher"])
+    matcher, m_params = build_matcher(cfg)
     pipe = PosePipeline(sp, matcher, max_keypoints=cfg["max_keypoints"])
     sp_fwd = jax.jit(lambda p, x: sp.apply(p, x))
 
@@ -118,43 +126,60 @@ def run(cfg: dict) -> dict:
         from onepose_tpu.tracker import BATracker, TrackerConfig
 
         tracker = BATracker(
-            TrackerConfig(n_kpts=cfg["max_keypoints"])
+            TrackerConfig(
+                n_kpts=cfg["max_keypoints"],
+                kf_interval=cfg["kf_interval"],
+            )
         )
+    tracker_ready = False
 
+    from onepose_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     img_out = osp.join(cfg["out_dir"], "frames")
     os.makedirs(img_out, exist_ok=True)
     prev_pose = None
-    prev_inliers = 0
-    n_detect, n_track = 0, 0
+    prev_conf = 0  # matcher inliers or tracker n_tracked of the last frame
+    n_detect, n_box_track, n_matcher, n_flow = 0, 0, 0, 0
     results = []
     from onepose_tpu.native.frame_loader import FrameLoader
+
+    def _extract_crop_feats(crop):
+        dense = sp_fwd(sp_params, crop[None, ..., None])
+        return extract_keypoints(
+            dense["score_map"], dense["descriptor_map"],
+            max_keypoints=cfg["max_keypoints"],
+        )
 
     for fi, gray in FrameLoader(frame_paths, queue_cap=4):
         fp = frame_paths[fi]
         if gray is None:
             raise FileNotFoundError(fp)
 
-        if prev_pose is None or prev_inliers < cfg["redetect_inliers"]:
-            dense = sp_fwd(sp_params, jnp.asarray(gray)[None, ..., None])
-            qf = extract_keypoints(
-                dense["score_map"], dense["descriptor_map"],
-                max_keypoints=cfg["max_keypoints"],
-            )
-            det = detector.detect_bbox(
-                {
-                    "keypoints": np.asarray(qf["keypoints"][0]),
-                    "descriptors": np.asarray(qf["descriptors"][0]),
-                    "scores": np.asarray(qf["scores"][0]),
-                    "mask": np.asarray(qf["mask"][0]),
-                }
-            )
+        if prev_pose is None or prev_conf < cfg["redetect_inliers"]:
+            with timer.stage("detect"):
+                dense = sp_fwd(
+                    sp_params, jnp.asarray(gray)[None, ..., None]
+                )
+                qf = extract_keypoints(
+                    dense["score_map"], dense["descriptor_map"],
+                    max_keypoints=cfg["max_keypoints"],
+                )
+                det = detector.detect_bbox(
+                    {
+                        "keypoints": np.asarray(qf["keypoints"][0]),
+                        "descriptors": np.asarray(qf["descriptors"][0]),
+                        "scores": np.asarray(qf["scores"][0]),
+                        "mask": np.asarray(qf["mask"][0]),
+                    }
+                )
             bbox = det["bbox"]
             n_detect += 1
         else:
             bbox = detector.previous_pose_detect(
                 K_full, prev_pose, box_corners
             )
-            n_track += 1
+            n_box_track += 1
 
         # Clamp the box to the image and square it.
         h, w = gray.shape
@@ -167,16 +192,75 @@ def run(cfg: dict) -> dict:
         if bbox[2] - bbox[0] < 16 or bbox[3] - bbox[1] < 16:
             bbox = np.array([0, 0, w - 1, h - 1])
         crop, K_crop = detector.crop(jnp.asarray(gray), bbox, K_full)
+        K_crop = jnp.asarray(K_crop, jnp.float32)
 
-        out = pipe(
-            sp_params, m_params,
-            crop[None, ..., None],
-            jnp.asarray(K_crop, jnp.float32)[None],
-            anno,
-            jax.random.PRNGKey(fi),
+        # The full matcher pipeline runs every frame without tracking;
+        # with tracking only on keyframe cadence, on the first frame, and
+        # after a confidence drop (reference inference_demo.py:264-267).
+        run_matcher = (
+            tracker is None
+            or not tracker_ready
+            or fi % cfg["kf_interval"] == 0
+            or prev_conf < cfg["redetect_inliers"]
         )
-        pose = np.asarray(out["pose"][0])
-        prev_inliers = int(out["num_inliers"][0])
+
+        if run_matcher:
+            with timer.stage("matcher_pipeline"):
+                out = pipe(
+                    sp_params, m_params,
+                    crop[None, ..., None],
+                    K_crop[None],
+                    anno,
+                    jax.random.PRNGKey(fi),
+                )
+            n_matcher += 1
+            pose = np.asarray(out["pose"][0])
+            inliers = int(out["num_inliers"][0])
+            conf = inliers
+
+            if tracker is not None and inliers >= cfg["redetect_inliers"]:
+                # Keypoint 3D ids: PnP-inlier matcher correspondences only
+                # (reference kf_dict construction, inference_demo.py:265-291).
+                matches0 = np.asarray(out["matches0"][0])
+                inl = np.asarray(out["inliers"][0]).astype(bool)
+                p3d_ids = np.where((matches0 >= 0) & inl, matches0, -1)
+                kf_args = (
+                    crop,
+                    out["keypoints"][0],
+                    out["descriptors"][0],
+                    out["kpt_mask"][0],
+                    p3d_ids,
+                )
+                if not tracker_ready:
+                    tracker.initialize(
+                        *kf_args, anno.points3d, pose, K_crop
+                    )
+                    tracker_ready = True
+                else:
+                    accepted = tracker.update_kf(*kf_args, pose, K_crop)
+                    if not accepted:
+                        # Tracker drifted away from the (confident) matcher
+                        # pose: re-seed rather than keep a bad window.
+                        tracker.initialize(
+                            *kf_args, anno.points3d, pose, K_crop
+                        )
+        else:
+            with timer.stage("superpoint"):
+                qf = _extract_crop_feats(crop)
+            with timer.stage("track"):
+                tr = tracker.track(
+                    crop,
+                    qf["keypoints"][0],
+                    qf["descriptors"][0],
+                    qf["mask"][0],
+                    K_crop,
+                    key=jax.random.PRNGKey(fi),
+                )
+            n_flow += 1
+            pose = np.asarray(tr["pose"])
+            conf = int(tr["n_tracked"])
+
+        prev_conf = conf
         prev_pose = pose if np.isfinite(pose).all() else None
 
         save_demo_image(
@@ -185,8 +269,12 @@ def run(cfg: dict) -> dict:
             osp.join(img_out, f"{fi}.png"),
         )
         results.append(
-            {"frame": fi, "inliers": prev_inliers,
-             "detected": prev_inliers >= cfg["redetect_inliers"]}
+            {
+                "frame": fi,
+                "conf": conf,
+                "pose": pose.tolist() if np.isfinite(pose).all() else None,
+                "tracked": not run_matcher,
+            }
         )
 
     video_path = None
@@ -194,12 +282,20 @@ def run(cfg: dict) -> dict:
         video_path = make_video(
             img_out, osp.join(cfg["out_dir"], "demo.mp4")
         )
+    stage_report = timer.report()
     summary = {
         "num_frames": len(frame_paths),
         "n_detect": n_detect,
-        "n_track": n_track,
+        "n_box_track": n_box_track,
+        "n_matcher": n_matcher,
+        "n_flow_track": n_flow,
+        "stage_ms": {
+            k: round(v["mean_ms"], 2) for k, v in stage_report.items()
+        },
         "video": video_path,
     }
+    with open(osp.join(cfg["out_dir"], "results.json"), "w") as f:
+        json.dump({"summary": summary, "frames": results}, f)
     print(json.dumps(summary))
     return summary
 

@@ -19,11 +19,18 @@ DEFAULTS = {
     "data_dir": None,  # sequence root with color/, poses_ba/, intrin_ba/
     "anno_dir": None,  # anno npz dir (defaults to ../outputs/anno)
     "weights": {"superpoint": None, "matcher": None},
+    "matcher": "gats",  # 'gats' (learned) | 'nn' (descriptor mutual-NN)
+    "nn_distance_thresh": 0.7,
     "max_keypoints": 1000,
     "shape3d": 2000,
     "num_leaf": 8,
     "batch": 8,
     "det_type": "GT_box",
+    # Evaluate from a reference-layout feature cache (feats-superpoint.h5,
+    # keyed by image basename or full relative path) instead of running the
+    # extractor on images. Decouples matcher/solver evaluation from
+    # extraction; also the injection point of the oracle accuracy gate.
+    "features_h5": None,
     "eval_out": None,
     "seq_name": "seq",
     "dump_vis3d": None,  # dir for per-frame 3D dumps (Wis3D-export parity)
@@ -32,13 +39,13 @@ DEFAULTS = {
 
 def run(cfg: dict) -> dict:
     from onepose_tpu.cli.common import (
-        load_matcher_params,
+        build_matcher,
         load_superpoint_params,
     )
     from onepose_tpu.data import paths as path_utils
     from onepose_tpu.data.anno_io import annotation_from_npz_dir
     from onepose_tpu.eval import Evaluator, record_eval_result
-    from onepose_tpu.models import GATsSPG, SuperPoint
+    from onepose_tpu.models import SuperPoint
     from onepose_tpu.runtime.pipeline import PosePipeline
 
     assert cfg["data_dir"], "infer: data_dir is required"
@@ -58,9 +65,8 @@ def run(cfg: dict) -> dict:
     assert seq_dirs, f"infer: no sequences match {cfg['data_dir']}"
 
     sp = SuperPoint()
-    matcher = GATsSPG()
     sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
-    m_params = load_matcher_params(matcher, cfg["weights"]["matcher"])
+    matcher, m_params = build_matcher(cfg)
     pipe = PosePipeline(sp, matcher, max_keypoints=cfg["max_keypoints"])
 
     per_seq = {}
@@ -112,39 +118,65 @@ def _eval_sequence(
     ev = Evaluator()
     B = cfg["batch"]
     n_frames = 0
-    # Native threaded prefetch: decode of upcoming frames overlaps the
-    # device batch in flight (native/frame_loader.cpp).
-    from onepose_tpu.native.frame_loader import FrameLoader
 
-    frames = iter(FrameLoader(img_paths, queue_cap=2 * B))
+    cached_feats = None
+    if cfg.get("features_h5"):
+        from onepose_tpu.sfm.cache import load_features_h5
+
+        cached_feats = load_features_h5(
+            cfg["features_h5"],
+            [osp.basename(p) for p in img_paths],
+            pad_to=cfg["max_keypoints"],
+        )
+        frames = None
+    else:
+        # Native threaded prefetch: decode of upcoming frames overlaps the
+        # device batch in flight (native/frame_loader.cpp).
+        from onepose_tpu.native.frame_loader import FrameLoader
+
+        frames = iter(FrameLoader(img_paths, queue_cap=2 * B))
     for s in range(0, len(img_paths), B):
         chunk = img_paths[s : s + B]
         imgs, Ks, poses = [], [], []
         for p in chunk:
-            _, img = next(frames)
-            if img is None:
-                raise FileNotFoundError(p)
+            if frames is not None:
+                _, img = next(frames)
+                if img is None:
+                    raise FileNotFoundError(p)
+                imgs.append(img)
             K = np.loadtxt(
                 path_utils.intrin_path_by_color(p, cfg["det_type"])
             ).astype(np.float32)
             pose = np.loadtxt(
                 path_utils.gt_pose_path_by_color(p, cfg["det_type"])
             ).astype(np.float32)
-            imgs.append(img)
             Ks.append(K)
             poses.append(pose)
         pad = B - len(chunk)
         if pad:
-            imgs += [imgs[-1]] * pad
+            imgs += [imgs[-1]] * pad if imgs else []
             Ks += [Ks[-1]] * pad
             poses += [poses[-1]] * pad
-        out = pipe(
-            sp_params, m_params,
-            jnp.asarray(np.stack(imgs))[..., None],
-            jnp.asarray(np.stack(Ks)),
-            anno,
-            jax.random.PRNGKey(s),
-        )
+        if cached_feats is not None:
+            sl = [min(s + j, len(img_paths) - 1) for j in range(B)]
+            feats_b = {
+                "keypoints": jnp.asarray(cached_feats["keypoints"][sl]),
+                "descriptors": jnp.asarray(cached_feats["descriptors"][sl]),
+                "scores": jnp.asarray(cached_feats["scores"][sl]),
+                "mask": jnp.asarray(cached_feats["mask"][sl]),
+            }
+            out = pipe.from_features(
+                m_params, feats_b, jnp.asarray(np.stack(Ks)), anno,
+                jax.random.PRNGKey(s),
+            )
+        else:
+            out = pipe(
+                sp_params, m_params,
+                jnp.asarray(np.stack(imgs))[..., None],
+                jnp.asarray(np.stack(Ks)),
+                anno,
+                jax.random.PRNGKey(s),
+            )
         pose_pred = np.asarray(out["pose"])[: len(chunk)]
         gt = np.stack(poses)[: len(chunk)]
         ev.evaluate(pose_pred, gt)

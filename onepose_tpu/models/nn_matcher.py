@@ -65,3 +65,51 @@ def mutual_nn_match(
         "similarity0": jnp.where(valid, best0, 0.0),
         "valid0": valid,
     }
+
+
+class NNMatcher2D3D:
+    """2D-3D mutual-NN matcher speaking the GATsSPG pipeline protocol.
+
+    Matches query descriptors directly against the aggregated 3D point
+    descriptors — no learned transform. This is the reference NN matcher
+    (src/models/matchers/nn/nearest_neighbour.py:5-63) lifted from the
+    tracker to the 2D-3D serving path, and doubles as the oracle matching
+    mode: when inference uses the same extractor weights that built the
+    map, descriptor identity alone solves the 2D-3D association, so the
+    full map -> infer product path can be accuracy-gated end-to-end
+    without trained GATsSPG weights.
+    """
+
+    def __init__(self, distance_thresh: float = 0.7):
+        self.distance_thresh = distance_thresh
+
+    def init(self, *args, **kwargs) -> dict:
+        return {}
+
+    def apply(
+        self,
+        params: dict,
+        desc2d: jnp.ndarray,
+        desc3d: jnp.ndarray,
+        leaf_desc: jnp.ndarray = None,
+        mask2d: Optional[jnp.ndarray] = None,
+        mask3d: Optional[jnp.ndarray] = None,
+        leaf_mask: Optional[jnp.ndarray] = None,
+    ) -> dict:
+        del params, leaf_desc, leaf_mask
+
+        def _norm(d):
+            return d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12
+            )
+
+        m = mutual_nn_match(
+            _norm(desc2d), _norm(desc3d), mask2d, mask3d,
+            distance_thresh=self.distance_thresh,
+        )
+        return {
+            "matches0": m["matches0"],
+            "matching_scores0": m["similarity0"],
+            "valid0": m["valid0"],
+            "conf_matrix": None,
+        }

@@ -88,6 +88,7 @@ class PosePipeline:
         self.ransac_hypotheses = ransac_hypotheses
         self.reproj_threshold = reproj_threshold
         self._jitted = jax.jit(self._forward)
+        self._jitted_features = jax.jit(self._match_solve)
 
     def _forward(
         self,
@@ -98,7 +99,6 @@ class PosePipeline:
         anno: ObjectAnnotation,
         key: jax.Array,
     ) -> dict:
-        b = images.shape[0]
         dense = self.superpoint.apply(sp_params, images)
         feats = extract_keypoints(
             dense["score_map"],
@@ -107,7 +107,21 @@ class PosePipeline:
             keypoint_threshold=self.keypoint_threshold,
             border=self.border,
         )
+        return self._match_solve(matcher_params, feats, K, anno, key)
 
+    def _match_solve(
+        self,
+        matcher_params,
+        feats: dict,
+        K: jnp.ndarray,
+        anno: ObjectAnnotation,
+        key: jax.Array,
+    ) -> dict:
+        """Match precomputed keypoint features against the annotation and
+        solve poses — the extraction-free tail of the pipeline. feats:
+        dict(keypoints [B, N, 2], descriptors [B, N, C], scores [B, N],
+        mask [B, N])."""
+        b = feats["keypoints"].shape[0]
         desc3d = jnp.broadcast_to(
             anno.desc3d[None], (b,) + anno.desc3d.shape
         )
@@ -153,6 +167,7 @@ class PosePipeline:
             "pnp_ok": pnp["ok"],
             "inliers": pnp["inliers"],
             "keypoints": feats["keypoints"],
+            "descriptors": feats["descriptors"],
             "kpt_mask": feats["mask"],
             "kpt_scores": feats["scores"],
             "matches0": match["matches0"],
@@ -179,6 +194,23 @@ class PosePipeline:
         return self._jitted(
             sp_params, matcher_params, images, K, anno, key
         )
+
+    def from_features(
+        self,
+        matcher_params,
+        feats: dict,
+        K: jnp.ndarray,
+        anno: ObjectAnnotation,
+        key: Optional[jax.Array] = None,
+    ) -> dict:
+        """Run match -> RANSAC-PnP from precomputed features (no image /
+        extractor): feats = dict(keypoints [B, N, 2], descriptors
+        [B, N, C], scores [B, N], mask [B, N]). Serves feature-cache
+        evaluation (`infer features_h5=...`) and the oracle end-to-end
+        accuracy gate."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._jitted_features(matcher_params, feats, K, anno, key)
 
     def sharded(self, mesh=None):
         """SPMD serving: the frame batch sharded over the mesh's data axis

@@ -185,6 +185,64 @@ class BATracker:
         self._frame_count = 1
 
     # ------------------------------------------------------------------
+    def update_kf(
+        self,
+        image: jnp.ndarray,
+        kpts: jnp.ndarray,
+        descs: jnp.ndarray,
+        mask: jnp.ndarray,
+        p3d_ids: jnp.ndarray,
+        pose: jnp.ndarray,
+        K: jnp.ndarray,
+    ) -> bool:
+        """Inject a matcher-verified keyframe (reference update_kf,
+        src/tracker/ba_tracker.py:128-145): rejected when the proposed
+        pose jumps more than kf_reject_cm / kf_reject_deg from the last
+        tracked pose. `p3d_ids` index the SAME point cloud passed to
+        initialize() (the object map), so matcher matches map directly
+        onto the head of the tracker's point buffer. Returns True when
+        the keyframe was accepted."""
+        assert self.state is not None, "call initialize() first"
+        cfg = self.cfg
+        pose = jnp.asarray(pose, jnp.float32)
+        if not bool(jnp.isfinite(pose).all()):
+            return False
+        t_j, r_j = pose_distance(self.state.pose_hist[2], pose)
+        if float(t_j) > cfg.kf_reject_cm or float(r_j) > cfg.kf_reject_deg:
+            return False
+
+        st = self.state
+        N = cfg.n_kpts
+        slot = (int(st.kf_slot) + 1) % cfg.window_size
+        K = jnp.asarray(K, jnp.float32)
+        self.state = dataclasses.replace(
+            st,
+            frame_kpts=st.frame_kpts.at[slot].set(
+                jnp.asarray(kpts, jnp.float32)[:N]
+            ),
+            frame_descs=st.frame_descs.at[slot].set(
+                jnp.asarray(descs, jnp.float32)[:N]
+            ),
+            frame_p3d=st.frame_p3d.at[slot].set(
+                jnp.asarray(p3d_ids, jnp.int32)[:N]
+            ),
+            frame_mask=st.frame_mask.at[slot].set(jnp.asarray(mask)[:N]),
+            cam_poses=st.cam_poses.at[slot].set(pose_to_aa(pose)),
+            cam_intr=st.cam_intr.at[slot].set(
+                jnp.stack([K[0, 0], K[0, 2], K[1, 2]])
+            ),
+            frame_valid=st.frame_valid.at[slot].set(True),
+            kf_slot=jnp.asarray(slot, jnp.int32),
+            kf_image=jnp.asarray(image, jnp.float32),
+            kf_pose=pose,
+            pose_hist=jnp.concatenate(
+                [st.pose_hist[1:], pose[None]], axis=0
+            ),
+        )
+        self._frame_count += 1
+        return True
+
+    # ------------------------------------------------------------------
     def track(
         self,
         image: jnp.ndarray,

@@ -4,6 +4,7 @@ and the 3D scene dump."""
 import json
 import os.path as osp
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -55,6 +56,7 @@ class TestCallbacks:
         cb.on_train_start(str(tmp_path), {})
         assert osp.exists(tmp_path / "code_snapshot.zip")
 
+    @pytest.mark.slow
     def test_tensorboard_logger(self, tmp_path):
         cb = TensorBoardLogger(str(tmp_path / "tb"))
         cb.on_train_start(str(tmp_path), {"a": 1})

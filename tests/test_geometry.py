@@ -283,6 +283,7 @@ class TestPnP:
             uv[out_idx] = rng.uniform(0, 512, size=(n_out, 2))
         return K, R, t, pts3d, uv
 
+    @pytest.mark.slow
     def test_epnp_exact(self):
         rng = np.random.default_rng(11)
         K, R, t, pts3d, uv = self._make_problem(rng, n=50)

@@ -150,6 +150,7 @@ def test_sinkhorn_parity():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_superglue_parity():
     from src.models.matchers.SuperGlue.superglue import SuperGlue as TorchSG
 

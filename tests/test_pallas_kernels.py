@@ -15,6 +15,7 @@ from onepose_tpu.ops.pallas.gats import (
 
 class TestSinkhornKernel:
     @pytest.mark.parametrize("m,n", [(64, 96), (129, 200)])
+    @pytest.mark.slow
     def test_matches_xla_path(self, m, n):
         rng = np.random.default_rng(0)
         b = 2
@@ -91,6 +92,7 @@ class TestGATsKernel:
             np.asarray(out_p), np.asarray(out_x), atol=2e-5
         )
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         import jax
 
@@ -217,6 +219,7 @@ class TestVggStageKernel:
 
 
 class TestDualSoftmaxMatch:
+    @pytest.mark.slow
     def test_matches_xla_path(self):
         from onepose_tpu.models.gats_spg import match_from_conf
         from onepose_tpu.ops.pallas.dual_softmax import (
@@ -294,6 +297,7 @@ class TestFusedGatsBlock:
         params = ref_model.init(jax.random.PRNGKey(1), *args)
         return args, params, ref_model
 
+    @pytest.mark.slow
     def test_matches_xla_path(self):
         from onepose_tpu.models.gats_spg import GATsSPG
 

@@ -1,5 +1,6 @@
 """SfM subsystem tests: synthetic scene with known geometry end-to-end."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -268,6 +269,7 @@ class TestMappingEndToEnd:
             assert len(np.unique(am[1])) == am.shape[1]
             assert am[1].max() < P
 
+    @pytest.mark.slow
     def test_global_ba_improves_map(self):
         """global_ba=True (reference global_ba.py equivalent) must reduce
         reprojection RMSE and tighten the map against GT geometry."""

@@ -1,5 +1,6 @@
 """Tracker test: synthetic textured scene, camera orbit, pose tracking."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -44,6 +45,7 @@ def look_at(center):
 
 
 class TestTracker:
+    @pytest.mark.slow
     def test_orbit_tracking(self):
         rng = np.random.default_rng(0)
         img = 160
@@ -117,6 +119,7 @@ class TestTracker:
         assert t_errs.max() < 5.0, errs
         assert (r_errs < 1.0).mean() > 0.5, errs
 
+    @pytest.mark.slow
     def test_motion_fallback_on_blank_frame(self):
         rng = np.random.default_rng(1)
         img = 160
