@@ -150,11 +150,21 @@ class MultiHeadAttention(nn.Module):
     kind: 'softmax' (SuperGlue-class, superglue.py:103-119) or 'linear'
     (GATsSPG-class, GATs_SuperGlue.py:102-120). All projections carry bias,
     matching the torch Conv1d(k=1) layers.
+
+    mesh + spmd (call arg) select the sequence-parallel attention kernels
+    (parallel/sharded_attention.py) when the source point axis is sharded
+    over the mesh's points axis:
+    - spmd='kv':  keys/values sharded, queries replicated (2D<-3D cross);
+    - spmd='qkv': queries AND keys/values sharded (3D-stream self-attn).
+    With mesh=None (default) or spmd=None the attention is the plain local
+    computation (GSPMD still partitions it automatically under jit when
+    inputs carry shardings).
     """
 
     num_heads: int
     d_model: int
     kind: str = "softmax"
+    mesh: Optional[jax.sharding.Mesh] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,6 +173,7 @@ class MultiHeadAttention(nn.Module):
         x: jnp.ndarray,
         source: jnp.ndarray,
         source_mask: Optional[jnp.ndarray] = None,
+        spmd: Optional[str] = None,
     ) -> jnp.ndarray:
         head_dim = self.d_model // self.num_heads
         b, n, _ = x.shape
@@ -183,7 +194,29 @@ class MultiHeadAttention(nn.Module):
         # normalizers lose too much in bf16); the projections above and the
         # merge below carry the bf16 MXU benefit — they hold the FLOPs.
         q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
-        if self.kind == "softmax":
+        if self.mesh is not None and spmd in ("kv", "qkv"):
+            # Deferred import: parallel.sharded_attention imports NEG_INF
+            # from this module.
+            from onepose_tpu.parallel.sharded_attention import (
+                ring_softmax_attention,
+                sharded_linear_attention,
+            )
+
+            mask = (
+                source_mask
+                if source_mask is not None
+                else jnp.ones(source.shape[:2], bool)
+            )
+            if self.kind == "softmax":
+                out = ring_softmax_attention(
+                    self.mesh, q, k, v, mask, q_sharded=(spmd == "qkv")
+                )
+            else:
+                out = sharded_linear_attention(
+                    self.mesh, q, k, v, mask,
+                    v_length=m, q_sharded=(spmd == "qkv"),
+                )
+        elif self.kind == "softmax":
             out = masked_softmax_attention(q, k, v, source_mask)
         else:
             out = masked_linear_attention(q, k, v, source_mask)
@@ -204,6 +237,7 @@ class AttentionalPropagation(nn.Module):
     num_heads: int
     kind: str = "softmax"
     norm: str = "batch"
+    mesh: Optional[jax.sharding.Mesh] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -213,11 +247,12 @@ class AttentionalPropagation(nn.Module):
         source: jnp.ndarray,
         source_mask: Optional[jnp.ndarray] = None,
         x_mask: Optional[jnp.ndarray] = None,
+        spmd: Optional[str] = None,
     ) -> jnp.ndarray:
         message = MultiHeadAttention(
-            self.num_heads, self.d_model, kind=self.kind, dtype=self.dtype,
-            name="attn",
-        )(x, source, source_mask)
+            self.num_heads, self.d_model, kind=self.kind, mesh=self.mesh,
+            dtype=self.dtype, name="attn",
+        )(x, source, source_mask, spmd=spmd)
         mlp = PointMLP(
             [2 * self.d_model, self.d_model],
             norm=self.norm,

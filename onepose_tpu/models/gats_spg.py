@@ -49,6 +49,15 @@ class GATsSPG(nn.Module):
     # block runs as ONE Pallas call with activations resident in VMEM.
     # Inference-only (no custom VJP); opt-in per the kernel policy.
     block_fused: bool = False
+    # Sequence parallelism (SURVEY §2.3 long-context axis): with a mesh the
+    # 3D point / leaf axes are sharded over mesh['points'] and the
+    # 2D<->3D attention + dual-softmax become the explicit shard_map
+    # collectives of parallel/sharded_attention.py — psum'd KV moments for
+    # the linear attention (O(H*D^2) bytes over ICI, independent of the
+    # point count) and a psum'd softmax normalizer for the confidence.
+    # Incompatible with the Pallas kernel paths (custom calls are not
+    # auto-partitionable); batch stays sharded over mesh['data'].
+    mesh: Optional[jax.sharding.Mesh] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,6 +86,30 @@ class GATsSPG(nn.Module):
         x3 = desc3d.astype(self.dtype)
         leaves = leaf_desc.astype(self.dtype)
 
+        spmd = self.mesh is not None
+        if spmd:
+            assert not self.block_fused and not bool(self.fused_match), (
+                "points-sharded GATsSPG is incompatible with the Pallas "
+                "fused paths (custom calls are not auto-partitionable)"
+            )
+            # Pin the point/leaf shardings so the GATs leaf aggregation
+            # (per-point, communication-free) stays local to each shard.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from onepose_tpu.parallel.mesh import POINTS_AXIS
+
+            def pin(a, *axes):
+                return jax.lax.with_sharding_constraint(
+                    a, NamedSharding(self.mesh, P(*axes))
+                )
+
+            from onepose_tpu.parallel.sharded_attention import _batch_spec
+
+            d = _batch_spec(self.mesh, x2.shape[0])
+            x2 = pin(x2, d)
+            x3 = pin(x3, d, POINTS_AXIS)
+            leaves = pin(leaves, d, POINTS_AXIS)
+
         for blk in range(self.num_blocks):
             gats = GraphAttentionLayer(
                 in_features=self.d_model,
@@ -96,11 +129,11 @@ class GATsSPG(nn.Module):
             # loop (GATs_SuperGlue.py:74-83).
             self_layer = AttentionalPropagation(
                 self.d_model, self.num_heads, kind="linear", norm="instance",
-                dtype=self.dtype, name=f"self_{blk}",
+                mesh=self.mesh, dtype=self.dtype, name=f"self_{blk}",
             )
             cross_layer = AttentionalPropagation(
                 self.d_model, self.num_heads, kind="linear", norm="instance",
-                dtype=self.dtype, name=f"cross_{blk}",
+                mesh=self.mesh, dtype=self.dtype, name=f"cross_{blk}",
             )
 
             if self.block_fused:
@@ -128,10 +161,20 @@ class GATsSPG(nn.Module):
                 x3 = x3.astype(self.dtype)
                 continue
 
+            # Sharding roles under spmd: x2 (queries) is replicated within
+            # a data row, x3/leaves are sharded on the points axis. The
+            # 2D self-attention and the 3D<-2D cross-attention need no
+            # collectives (keys replicated); the 3D self-attention psums
+            # its own KV moments ('qkv'); the 2D<-3D cross-attention psums
+            # the sharded keys' moments ('kv').
             x3 = gats(leaves, x3, leaf_mask)
             x2 = x2 + self_layer(x2, x2, mask2d, mask2d)
-            x3 = x3 + self_layer(x3, x3, mask3d, mask3d)
-            d2 = cross_layer(x2, x3, mask3d, mask2d)
+            x3 = x3 + self_layer(
+                x3, x3, mask3d, mask3d, spmd="qkv" if spmd else None
+            )
+            d2 = cross_layer(
+                x2, x3, mask3d, mask2d, spmd="kv" if spmd else None
+            )
             d3 = cross_layer(x3, x2, mask2d, mask3d)
             x2, x3 = x2 + d2, x3 + d3
 
@@ -174,7 +217,23 @@ class GATsSPG(nn.Module):
             out["conf_matrix"] = None
             return out
 
-        conf = jax.nn.softmax(scores, axis=1) * jax.nn.softmax(scores, axis=2)
+        if spmd:
+            # Dual-softmax over the sharded N3 axis: the N2 softmax is
+            # local, the N3 softmax psums its max/normalizer over the
+            # points axis (masking already applied above and re-applied
+            # inside from the masks).
+            from onepose_tpu.parallel.sharded_attention import (
+                sharded_dual_softmax,
+            )
+
+            b, n2, n3 = scores.shape
+            m2 = mask2d if mask2d is not None else jnp.ones((b, n2), bool)
+            m3 = mask3d if mask3d is not None else jnp.ones((b, n3), bool)
+            conf = sharded_dual_softmax(self.mesh, scores, m2, m3)
+        else:
+            conf = jax.nn.softmax(scores, axis=1) * jax.nn.softmax(
+                scores, axis=2
+            )
         out = match_from_conf(
             conf, self.match_threshold, mask2d=mask2d, mask3d=mask3d
         )

@@ -65,7 +65,9 @@ def log_sinkhorn(
     one unit; each dustbin absorbs the opposite side's count.
 
     use_pallas: run the iteration loop as a VMEM-resident Pallas kernel
-    (default: on TPU backends). The XLA scan path is kept for parity tests
+    (default: on TPU backends). Guarded by the kernel's VMEM budget either
+    way: problems too large to pin on-chip (e.g. 4096-keypoint SfM pairs)
+    stream via the XLA scan. The scan path is also kept for parity tests
     and as the differentiable reference.
     """
     b, m, n = scores.shape
@@ -109,6 +111,17 @@ def log_sinkhorn(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from onepose_tpu.ops.pallas.sinkhorn import (
+            fits_vmem,
+            sinkhorn_potentials,
+        )
+
+        # VMEM guard: the kernel pins the whole [M+1, N+1] coupling matrix
+        # in VMEM; beyond the budget (e.g. SfM's 4096-keypoint extraction,
+        # reference src/sfm/extract_features.py:8-26) stream from HBM via
+        # the XLA scan instead.
+        use_pallas = fits_vmem(couplings.shape[1], couplings.shape[2])
     if use_pallas:
         from onepose_tpu.ops.pallas.sinkhorn import sinkhorn_potentials
 

@@ -29,6 +29,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Per-core VMEM is ~16 MB; the kernel holds the padded couplings plus
+# ~2 same-shape intermediates (C + v broadcast, its exp) live at once.
+# 12 MB / (3 buffers * 4 B) ~= 1M elements — the SuperGlue default
+# (1025 x 1025 -> 1032 x 1152 = 1.19M, ~14 MB total) is the measured
+# upper edge that still fits; SfM's 4096-keypoint extraction budget
+# (4104 x 4224 = 17.3M, ~208 MB) cannot be pinned. Above the budget
+# callers must stream from HBM instead (the XLA scan path) — a tiled
+# Pallas variant would re-read C from HBM every iteration exactly like
+# the scan, so there is nothing to win from tiling.
+_VMEM_BUDGET_ELEMS = 1_300_000
+
+
+def fits_vmem(m: int, n: int) -> bool:
+    """True when the [m, n] coupling problem (padded to TPU tiles) fits
+    the kernel's VMEM budget; callers fall back to the XLA scan path
+    otherwise."""
+    return _round_up(m, 8) * _round_up(n, 128) <= _VMEM_BUDGET_ELEMS
+
+
 def _sinkhorn_kernel(c_ref, mu_ref, nu_ref, u_ref, v_ref, *, iters: int):
     """One example: c [M, N], mu [M, 1], nu [1, N] -> potentials u, v."""
     C = c_ref[:]

@@ -30,11 +30,22 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from onepose_tpu.models.common import NEG_INF
-from onepose_tpu.parallel.mesh import POINTS_AXIS
+from onepose_tpu.parallel.mesh import DATA_AXIS, POINTS_AXIS
 
 
 def _phi(x):
     return jax.nn.elu(x) + 1.0
+
+
+def _batch_spec(mesh, batch: int) -> object:
+    """Shard the batch axis over the data axis when the mesh has one and
+    the batch divides it — these kernels then compose with data
+    parallelism (each data-parallel row runs its own points-axis
+    collectives). Non-divisible batches (e.g. the b=1 init trace) stay
+    replicated across the data axis."""
+    if DATA_AXIS in mesh.axis_names and batch % mesh.shape[DATA_AXIS] == 0:
+        return DATA_AXIS
+    return None
 
 
 def sharded_linear_attention(
@@ -45,12 +56,19 @@ def sharded_linear_attention(
     kv_mask: jnp.ndarray,
     v_length: int,
     eps: float = 1e-6,
+    q_sharded: bool = False,
 ) -> jnp.ndarray:
     """Linear attention with keys/values sharded over the points axis.
 
-    q: [B, N, H, D] replicated; k, v: [B, M, H, D] sharded on M;
-    kv_mask: [B, M]; v_length: the GLOBAL M (for the reference's value
-    conditioning). Returns [B, N, H, D] replicated.
+    q: [B, N, H, D] replicated (or sharded on N when q_sharded — the
+    3D-stream self-attention case where queries and keys are the SAME
+    sharded point set); k, v: [B, M, H, D] sharded on M; kv_mask: [B, M];
+    v_length: the GLOBAL M (for the reference's value conditioning).
+    Returns [B, N, H, D] with the same layout as q.
+
+    The collective cost is O(H * D^2) bytes (the KV moment + key sum),
+    independent of sequence length — the linear-attention analogue of ring
+    attention's bandwidth advantage.
     """
 
     def body(q, k, v, mask):
@@ -65,16 +83,14 @@ def sharded_linear_attention(
             jnp.einsum("bnhd,bhde,bnh->bnhe", phi_q, kv, z) * v_length
         )
 
+    bs = _batch_spec(mesh, q.shape[0])
+    q_spec = P(bs, POINTS_AXIS) if q_sharded else P(bs)
+    kv_spec = P(bs, POINTS_AXIS)
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            P(),
-            P(None, POINTS_AXIS),
-            P(None, POINTS_AXIS),
-            P(None, POINTS_AXIS),
-        ),
-        out_specs=P(),
+        in_specs=(q_spec, kv_spec, kv_spec, kv_spec),
+        out_specs=q_spec,
         check_vma=False,
     )(q, k, v, kv_mask)
 
@@ -85,12 +101,15 @@ def ring_softmax_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_mask: jnp.ndarray,
+    q_sharded: bool = False,
 ) -> jnp.ndarray:
     """Softmax attention with keys/values sharded on the points axis,
     computed by circulating KV blocks around the ring (ppermute) with
     streaming-softmax accumulation.
 
-    q: [B, N, H, D] replicated; k/v: [B, M, H, D] sharded; kv_mask [B, M].
+    q: [B, N, H, D] replicated (or sharded on N when q_sharded — each
+    device then attends its local query rows against the circulating
+    global KV stream); k/v: [B, M, H, D] sharded; kv_mask [B, M].
     """
 
     def body(q, k, v, mask):
@@ -146,16 +165,14 @@ def ring_softmax_attention(
             s_f.transpose(0, 2, 1)[..., None], 1e-20
         )
 
+    bs = _batch_spec(mesh, q.shape[0])
+    q_spec = P(bs, POINTS_AXIS) if q_sharded else P(bs)
+    kv_spec = P(bs, POINTS_AXIS)
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            P(),
-            P(None, POINTS_AXIS),
-            P(None, POINTS_AXIS),
-            P(None, POINTS_AXIS),
-        ),
-        out_specs=P(),
+        in_specs=(q_spec, kv_spec, kv_spec, kv_spec),
+        out_specs=q_spec,
         check_vma=False,
     )(q, k, v, kv_mask)
 
@@ -179,8 +196,12 @@ def sharded_dual_softmax(
         # Softmax over N2 (local axis).
         sm1 = jax.nn.softmax(s, axis=1)
         # Softmax over sharded N3: global max (pmax) + global expsum (psum).
+        # The max shift is numerical stabilization only (softmax is
+        # shift-invariant), so stop_gradient keeps the backward pass exact
+        # while avoiding pmax's missing differentiation rule.
         mx = jax.lax.pmax(
-            jnp.max(s, axis=2, keepdims=True), POINTS_AXIS
+            jnp.max(jax.lax.stop_gradient(s), axis=2, keepdims=True),
+            POINTS_AXIS,
         )
         e = jnp.exp(s - mx)
         denom = jax.lax.psum(
@@ -189,10 +210,11 @@ def sharded_dual_softmax(
         sm2 = e / jnp.maximum(denom, 1e-20)
         return sm1 * sm2
 
+    bs = _batch_spec(mesh, scores.shape[0])
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None, None, POINTS_AXIS), P(), P(None, POINTS_AXIS)),
-        out_specs=P(None, None, POINTS_AXIS),
+        in_specs=(P(bs, None, POINTS_AXIS), P(bs), P(bs, POINTS_AXIS)),
+        out_specs=P(bs, None, POINTS_AXIS),
         check_vma=False,
     )(scores, mask2d, mask3d)

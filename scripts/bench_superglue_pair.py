@@ -1,0 +1,53 @@
+"""Bench SuperGlue pair matching on chip at SfM keypoint budgets.
+
+Usage: python scripts/bench_superglue_pair.py [n_kpts ...]
+Defaults to 1024 (demo budget, Pallas Sinkhorn in VMEM) and 4096 (the
+reference SfM extraction budget, src/sfm/extract_features.py:8-26 — above
+the VMEM guard, streams via the XLA scan).
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.models import SuperGlue
+from onepose_tpu.ops.pallas.sinkhorn import fits_vmem
+
+sizes = [int(a) for a in sys.argv[1:]] or [1024, 4096]
+HW = (512, 512)
+
+for n in sizes:
+    rng = np.random.default_rng(0)
+    sg = SuperGlue()
+    kpts0 = jnp.asarray(rng.uniform(0, 511, size=(1, n, 2)), jnp.float32)
+    kpts1 = jnp.asarray(rng.uniform(0, 511, size=(1, n, 2)), jnp.float32)
+    d0 = jnp.asarray(rng.normal(size=(1, n, 256)), jnp.float32)
+    d1 = jnp.asarray(rng.normal(size=(1, n, 256)), jnp.float32)
+    s0 = jnp.asarray(rng.random((1, n)), jnp.float32)
+    s1 = jnp.asarray(rng.random((1, n)), jnp.float32)
+    m0 = jnp.ones((1, n), bool)
+    m1 = jnp.ones((1, n), bool)
+
+    params = sg.init(
+        jax.random.PRNGKey(0), kpts0, kpts1, d0, d1, s0, s1, HW, HW,
+        m0, m1,
+    )
+    fwd = jax.jit(
+        lambda p, *a: sg.apply(p, *a, HW, HW, m0, m1)["matches0"]
+    )
+    out = fwd(params, kpts0, kpts1, d0, d1, s0, s1)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out = fwd(params, kpts0, kpts1, d0, d1, s0, s1)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps * 1e3
+    sink = "pallas-vmem" if fits_vmem(n + 1, n + 1) else "xla-scan"
+    print(
+        f"n_kpts={n:5d}  sinkhorn={sink:11s}  {dt:8.2f} ms/pair  "
+        f"({1e3 / dt:6.1f} pairs/s)"
+    )

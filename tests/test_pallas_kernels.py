@@ -341,3 +341,40 @@ class TestFusedGatsBlock:
         t1 = jax.tree.structure(params)
         t2 = jax.tree.structure(p2)
         assert t1 == t2
+
+
+class TestSinkhornVmemGuard:
+    def test_fits_vmem_boundaries(self):
+        from onepose_tpu.ops.pallas.sinkhorn import fits_vmem
+
+        # SuperGlue demo budget (1024 kpts + dustbin) fits;
+        # the SfM extraction budget (4096 + dustbin) must not
+        # (reference src/sfm/extract_features.py:8-26).
+        assert fits_vmem(1025, 1025)
+        assert not fits_vmem(4097, 4097)
+        assert not fits_vmem(2049, 2049)
+
+    def test_guard_falls_back_above_budget(self):
+        """use_pallas=True above the VMEM budget must route to the XLA
+        scan (no crash) and agree with the explicit XLA path."""
+        from unittest import mock
+
+        import onepose_tpu.ops.pallas.sinkhorn as sk
+        from onepose_tpu.models.superglue import log_sinkhorn
+
+        rng = np.random.default_rng(0)
+        b, m, n = 1, 16, 24
+        scores = jnp.asarray(rng.normal(size=(b, m, n)), jnp.float32)
+        m0 = jnp.ones((b, m), bool)
+        m1 = jnp.ones((b, n), bool)
+        bin_score = jnp.asarray(0.5, jnp.float32)
+        with mock.patch.object(sk, "_VMEM_BUDGET_ELEMS", 1):
+            z_guarded = log_sinkhorn(
+                scores, bin_score, m0, m1, iters=20, use_pallas=True
+            )
+        z_xla = log_sinkhorn(
+            scores, bin_score, m0, m1, iters=20, use_pallas=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(z_guarded), np.asarray(z_xla), atol=1e-5
+        )

@@ -79,3 +79,79 @@ def test_sharded_dual_softmax_matches_dense():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(dense), atol=2e-5
     )
+
+
+class TestShardedGATsSPG:
+    """The flagship matcher with mesh= set (points-sharded SPMD mode) must
+    agree with the dense single-device model — forward and backward."""
+
+    def _inputs(self, rng, b=2, n2=32, n3=64, L=4, C=256):
+        import jax.numpy as jnp
+
+        args = [
+            jnp.asarray(rng.normal(size=s), jnp.float32)
+            for s in [(b, n2, C), (b, n3, C), (b, n3, L, C)]
+        ]
+        masks = [
+            jnp.asarray(rng.random((b, n2)) > 0.1),
+            jnp.asarray(rng.random((b, n3)) > 0.1),
+            jnp.asarray(rng.random((b, n3, L)) > 0.2),
+        ]
+        return args, masks
+
+    def test_forward_matches_dense(self):
+        from onepose_tpu.models.gats_spg import GATsSPG
+
+        rng = np.random.default_rng(0)
+        args, masks = self._inputs(rng)
+        mesh = make_mesh(n_points=4)
+        dense = GATsSPG()
+        params = dense.init(jax.random.PRNGKey(0), *args, *masks)
+        out_d = jax.jit(dense.apply)(params, *args, *masks)
+        out_s = jax.jit(GATsSPG(mesh=mesh).apply)(params, *args, *masks)
+        np.testing.assert_allclose(
+            np.asarray(out_s["conf_matrix"]),
+            np.asarray(out_d["conf_matrix"]),
+            atol=3e-5,
+        )
+        agree = (
+            np.asarray(out_s["matches0"]) == np.asarray(out_d["matches0"])
+        ).mean()
+        assert agree > 0.99, agree
+
+    def test_grad_matches_dense(self):
+        from onepose_tpu.models.gats_spg import GATsSPG
+
+        rng = np.random.default_rng(1)
+        args, masks = self._inputs(rng, b=1)
+        mesh = make_mesh(n_points=4)
+        dense = GATsSPG()
+        params = dense.init(jax.random.PRNGKey(0), *args, *masks)
+
+        def grad_of(model):
+            def f(p):
+                out = model.apply(p, *args, *masks)
+                return jnp.sum(out["conf_matrix"] ** 2)
+
+            return jax.jit(jax.grad(f))(params)
+
+        gd = grad_of(dense)
+        gs = grad_of(GATsSPG(mesh=mesh))
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), gd, gs
+        )
+        mx = max(jax.tree.leaves(diffs))
+        assert mx < 1e-4, mx
+
+    def test_pallas_paths_rejected(self):
+        import pytest
+
+        from onepose_tpu.models.gats_spg import GATsSPG
+
+        rng = np.random.default_rng(2)
+        args, masks = self._inputs(rng, b=1, n2=8, n3=16, L=2)
+        mesh = make_mesh(n_points=4)
+        model = GATsSPG(mesh=mesh, fused_match=True)
+        params = GATsSPG().init(jax.random.PRNGKey(0), *args, *masks)
+        with pytest.raises(AssertionError, match="points-sharded"):
+            model.apply(params, *args, *masks)
