@@ -22,6 +22,13 @@ training recipe, as in the reference GATsSPG_lightning_model.py:21-22); a
 custom VJP recomputes through the XLA reference if gradients are ever
 requested.
 
+STATUS: FROZEN (round-3 go/no-go). Measured 14.6 ms vs XLA's 10.0 for
+the full dense forward; the roofline audit (docs/PERFORMANCE.md) bounds
+the best-case win of a perfect fusion kernel at <25% end-to-end, and the
+remaining gap is Mosaic layout work (fp32 roll round-trip, per-row
+rank-3 dot) with uncertain payoff. Kept in-tree as opt-in infrastructure;
+no further optimization planned.
+
 Reference architecture: src/models/extractors/SuperPoint/superpoint.py:
 119-156 (conv1a..conv4b, three 2x2 max-pools).
 """
