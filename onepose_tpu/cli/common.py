@@ -14,6 +14,20 @@ from onepose_tpu.models import GATsSPG, SuperPoint
 from onepose_tpu.models.superpoint import extract_keypoints
 
 
+# One jitted forward per model config, shared across calls: multi-object
+# rosters (reference run.py:96-137 loops ~50 objects) reuse the compiled
+# extractor program instead of recompiling per object.
+_JITTED_APPLY: dict = {}
+
+
+def _jitted_apply(model):
+    fn = _JITTED_APPLY.get(model)
+    if fn is None:
+        fn = jax.jit(model.apply)
+        _JITTED_APPLY[model] = fn
+    return fn
+
+
 def load_superpoint_params(
     model: SuperPoint, weights: Optional[str], key=None
 ):
@@ -150,14 +164,20 @@ def extract_sequence_features(
     keypoint_threshold: float = 0.005,
     det_type: str = "GT_box",
     batch: int = 8,
+    mesh=None,
 ) -> dict:
     """Run SuperPoint over a sequence directory; returns stacked arrays
     keypoints [F, N, 2], descriptors [F, N, C], scores [F, N],
-    mask [F, N], K [F, 3, 3], poses [F, 4, 4], image_paths."""
+    mask [F, N], K [F, 3, 3], poses [F, 4, 4], image_paths.
+
+    With `mesh`, frame batches are sharded over the mesh's data axis
+    (map-block parallelism — frames are independent, so this is pure DP).
+    The final batch is padded to the full batch size so one compiled
+    program serves the whole sequence."""
     img_paths = path_utils.list_color_images(seq_root, det_type)
     if not img_paths:
         raise FileNotFoundError(f"no images under {seq_root}")
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    fwd = _jitted_apply(model)
 
     feats, Ks, poses = [], [], []
     imgs_buf = []
@@ -168,11 +188,22 @@ def extract_sequence_features(
         Ks.append(K)
         poses.append(pose)
 
+    if mesh is not None:
+        from onepose_tpu.parallel.mesh import batch_sharding
+
+        n_dev = mesh.devices.size
+        batch = max(batch, ((batch + n_dev - 1) // n_dev) * n_dev)
+
     h, w = imgs_buf[0].shape
     all_out = []
     for s in range(0, len(imgs_buf), batch):
         chunk = imgs_buf[s : s + batch]
+        n_real = len(chunk)
+        if n_real < batch:
+            chunk = chunk + [chunk[0]] * (batch - n_real)
         x = jnp.asarray(np.stack(chunk))[..., None]
+        if mesh is not None:
+            x = jax.device_put(x, batch_sharding(mesh, x.ndim))
         dense = fwd(sp_params, x)
         out = extract_keypoints(
             dense["score_map"],
@@ -180,7 +211,8 @@ def extract_sequence_features(
             max_keypoints=max_keypoints,
             keypoint_threshold=keypoint_threshold,
         )
-        all_out.append(jax.tree.map(np.asarray, out))
+        out = jax.tree.map(lambda a: np.asarray(a)[:n_real], out)
+        all_out.append(out)
     stacked = {
         k: np.concatenate([o[k] for o in all_out], axis=0)
         for k in all_out[0]

@@ -42,6 +42,18 @@ DEFAULTS = {
     # a mismatch forces re-extraction, and re-extracted features invalidate
     # the match cache (indices would desync from the new keypoints).
     "cache": True,
+    # Map-block parallelism (SURVEY §2.3): shard frame extraction, pair
+    # matching, and global BA over the local device mesh. False = single
+    # device; True = all local devices; an int = that many. Pure data
+    # parallelism over frames/pairs — results are identical to the serial
+    # path; BA uses the distributed Schur solver (points sharded).
+    "data_parallel": False,
+    # Pairs matched per compiled call (rounded up to the device count).
+    "pair_chunk": 16,
+    # Optional global bundle adjustment after triangulation (reference
+    # src/sfm/global_ba.py:9-39, intrinsics refinement disabled).
+    "global_ba": False,
+    "global_ba_iters": 10,
 }
 
 
@@ -82,6 +94,53 @@ def _matcher_fingerprint(cfg: dict, feature_fingerprint: str) -> str:
 
 
 def run(cfg: dict) -> dict:
+    """Build maps for one sequence or a roster. `data_dir` may be a single
+    directory, a comma-separated list, or a glob pattern — the reference
+    `sfm()` loops over all configured objects in one invocation
+    (run.py:96-137); here the compiled extractor/matcher programs are
+    reused across objects."""
+    from glob import glob
+
+    raw = cfg["data_dir"]
+    assert raw, "map: data_dir is required"
+    seq_dirs = []
+    for d in str(raw).split(","):
+        d = d.strip()
+        if not d:
+            continue
+        hits = sorted(glob(d)) if any(c in d for c in "*?[") else [d]
+        seq_dirs.extend(hits or [d])
+    assert seq_dirs, f"map: no sequences match {raw!r}"
+
+    if len(seq_dirs) == 1:
+        return _run_object(cfg, seq_dirs[0], cfg["out_dir"])
+
+    all_stats = {}
+    for d in seq_dirs:
+        parts = osp.normpath(d).split(osp.sep)
+        name = "_".join(p for p in parts[-2:] if p)
+        k = 2
+        while name in all_stats and k < len(parts):
+            k += 1  # disambiguate with more path context
+            name = "_".join(p for p in parts[-k:] if p)
+        n = 2
+        while name in all_stats:  # same path listed twice
+            name = f"{name}.{n}"
+            n += 1
+        out_dir = osp.join(cfg["out_dir"], name) if cfg["out_dir"] else None
+        all_stats[name] = _run_object(cfg, d, out_dir)
+    summary = {
+        "num_objects": len(all_stats),
+        "total_points3d": int(
+            sum(s.get("num_points3d", 0) for s in all_stats.values())
+        ),
+        "objects": all_stats,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def _run_object(cfg: dict, data_dir: str, out_dir) -> dict:
     import json as _json
 
     from onepose_tpu.cli.common import (
@@ -96,12 +155,14 @@ def run(cfg: dict) -> dict:
     )
     from onepose_tpu.data.colmap_io import export_ply
     from onepose_tpu.models import SuperPoint
-    from onepose_tpu.models.nn_matcher import mutual_nn_match
+    from onepose_tpu.parallel.sfm_parallel import (
+        make_nn_pair_matcher,
+        make_superglue_pair_matcher,
+        resolve_sfm_mesh,
+    )
     from onepose_tpu.sfm.mapping import MappingConfig, run_mapping
 
-    data_dir = cfg["data_dir"]
-    assert data_dir, "map: data_dir is required"
-    out_dir = cfg["out_dir"] or osp.join(osp.dirname(data_dir), "outputs")
+    out_dir = out_dir or osp.join(osp.dirname(data_dir), "outputs")
 
     # Resume semantics (reference run.py:154, redo flag): a completed map
     # (stats + annotation index on disk) is not rebuilt unless redo=True.
@@ -161,6 +222,8 @@ def run(cfg: dict) -> dict:
             except KeyError:
                 feats = None  # stale cache (image set changed): re-extract
 
+    mesh = resolve_sfm_mesh(cfg["data_parallel"])
+
     if feats is None:
         sp = SuperPoint()
         sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
@@ -169,6 +232,7 @@ def run(cfg: dict) -> dict:
             max_keypoints=cfg["max_keypoints"],
             keypoint_threshold=cfg["keypoint_threshold"],
             det_type=cfg["det_type"],
+            mesh=mesh,
         )
         # Keypoints changed: cached match indices would desync.
         if osp.exists(matches_cache):
@@ -185,20 +249,13 @@ def run(cfg: dict) -> dict:
             )
 
     if cfg["matcher"] == "nn":
-
-        def match_pairs(pairs):
-            out = []
-            for i, j in pairs:
-                m = mutual_nn_match(
-                    jnp.asarray(feats["descriptors"][i]),
-                    jnp.asarray(feats["descriptors"][j]),
-                    jnp.asarray(feats["mask"][i]),
-                    jnp.asarray(feats["mask"][j]),
-                    distance_thresh=0.7,
-                )
-                out.append(np.asarray(m["matches0"]))
-            return np.stack(out)
-
+        match_pairs = make_nn_pair_matcher(
+            feats["descriptors"],
+            feats["mask"],
+            distance_thresh=0.7,
+            mesh=mesh,
+            pair_chunk=cfg["pair_chunk"],
+        )
     else:
         from onepose_tpu.models import SuperGlue
         from onepose_tpu.models.convert import superglue_from_torch
@@ -230,28 +287,11 @@ def run(cfg: dict) -> dict:
             sg_params = load_checkpoint(w, _init_sg_params())
         else:
             sg_params = _init_sg_params()
-        sg_apply = jax.jit(
-            lambda p, *a: sg.apply(
-                p, *a, feats["image_hw"], feats["image_hw"]
-            )
+        match_pairs = make_superglue_pair_matcher(
+            sg, sg_params, feats,
+            mesh=mesh,
+            pair_chunk=cfg["pair_chunk"],
         )
-
-        def match_pairs(pairs):
-            out = []
-            for i, j in pairs:
-                r = sg_apply(
-                    sg_params,
-                    jnp.asarray(feats["keypoints"][i])[None],
-                    jnp.asarray(feats["keypoints"][j])[None],
-                    jnp.asarray(feats["descriptors"][i])[None],
-                    jnp.asarray(feats["descriptors"][j])[None],
-                    jnp.asarray(feats["scores"][i])[None],
-                    jnp.asarray(feats["scores"][j])[None],
-                    jnp.asarray(feats["mask"][i])[None],
-                    jnp.asarray(feats["mask"][j])[None],
-                )
-                out.append(np.asarray(r["matches0"][0]))
-            return np.stack(out)
 
     if cfg["cache"]:
         from onepose_tpu.sfm.cache import CachedPairMatcher
@@ -276,6 +316,9 @@ def run(cfg: dict) -> dict:
             num_covis=cfg["num_covis"],
             max_points3d=cfg["max_points3d"],
             num_leaf=cfg["num_leaf"],
+            global_ba=cfg["global_ba"],
+            global_ba_iters=cfg["global_ba_iters"],
+            mesh=mesh,
         ),
     )
 

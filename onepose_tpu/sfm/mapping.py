@@ -56,6 +56,11 @@ class MappingConfig:
     global_ba: bool = False
     global_ba_iters: int = 10
     global_ba_refine_cameras: bool = False
+    # Device mesh for map-block parallelism. When set (>1 device), global
+    # BA runs the distributed Schur-complement solver with points sharded
+    # over the devices (parallel/distributed_ba.py) instead of the
+    # single-device solver — same math, psum-reduced camera system.
+    mesh: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -283,16 +288,52 @@ def _global_ba(
         if cfg.global_ba_refine_cameras
         else jnp.ones((len(cam6),), jnp.float32)
     )
-    out = ba_solve(
-        jnp.asarray(merged_xyz, jnp.float32),
-        jnp.asarray(cam6),
-        jnp.asarray(feats),
-        jnp.asarray(pt_idx),
-        jnp.asarray(cam_idx),
-        jnp.ones((len(pt_idx),), bool),
-        fix_cam_mask=fix,
-        n_iters=cfg.global_ba_iters,
-    )
+    n_dev = cfg.mesh.devices.size if cfg.mesh is not None else 1
+    if n_dev > 1:
+        # Distributed Schur BA: shard points (and their observations) over
+        # all mesh devices. Points are padded to a multiple of the shard
+        # count; padded points carry no observations, so their Hpp block is
+        # pure damping and their update is exactly zero.
+        from onepose_tpu.parallel.distributed_ba import (
+            distributed_ba_solve,
+            partition_obs_by_point,
+        )
+        from onepose_tpu.parallel.mesh import make_mesh
+
+        P_pad = ((P + n_dev - 1) // n_dev) * n_dev
+        pts_pad = np.pad(
+            merged_xyz.astype(np.float32), ((0, P_pad - P), (0, 0))
+        )
+        ba_mesh = make_mesh(
+            n_data=1, n_points=n_dev,
+            devices=list(cfg.mesh.devices.ravel()),
+        )
+        fs, ps, cs, ms = partition_obs_by_point(
+            P_pad, n_dev, feats, pt_idx, cam_idx,
+            np.ones((len(pt_idx),), bool),
+        )
+        out = distributed_ba_solve(
+            ba_mesh,
+            jnp.asarray(pts_pad),
+            jnp.asarray(cam6),
+            jnp.asarray(fs), jnp.asarray(ps), jnp.asarray(cs),
+            jnp.asarray(ms),
+            fix_cam_mask=fix,
+            n_iters=cfg.global_ba_iters,
+        )
+        out = dict(out)
+        out["points"] = out["points"][:P]
+    else:
+        out = ba_solve(
+            jnp.asarray(merged_xyz, jnp.float32),
+            jnp.asarray(cam6),
+            jnp.asarray(feats),
+            jnp.asarray(pt_idx),
+            jnp.asarray(cam_idx),
+            jnp.ones((len(pt_idx),), bool),
+            fix_cam_mask=fix,
+            n_iters=cfg.global_ba_iters,
+        )
     n_obs = max(len(pt_idx), 1)
     stats = {
         "global_ba_rmse_initial_px": float(

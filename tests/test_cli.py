@@ -252,6 +252,41 @@ class TestMapInferCLI:
         assert osp.exists(osp.join(eval_out, "ALL.txt"))
         assert osp.exists(osp.join(eval_out, f"{seq_name}.txt"))
 
+    def test_map_roster(self, tmp_path, capsys):
+        """`map` over a multi-object roster (reference run.py:96-137 loops
+        all configured objects in one invocation): comma-separated
+        data_dirs build one map per object and print an aggregate
+        summary."""
+        rng = np.random.default_rng(7)
+        seq_a = build_sequence(
+            tmp_path / "a", rng, n_frames=6, img=96, n_pts=30
+        )
+        seq_b = build_sequence(
+            tmp_path / "b", rng, n_frames=6, img=96, n_pts=30
+        )
+        out_root = str(tmp_path / "maps")
+        rc = cli_main(
+            [
+                "map",
+                f"data_dir={seq_a},{seq_b}",
+                f"out_dir={out_root}",
+                "max_keypoints=128",
+                "num_covis=3",
+                "max_points3d=200",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["num_objects"] == 2
+        assert summary["total_points3d"] > 0
+        for name, stats in summary["objects"].items():
+            assert stats["num_points3d"] > 0, (name, stats)
+            assert osp.exists(
+                osp.join(out_root, name, "anno", "anno_index.json")
+            ), name
+
     @pytest.mark.slow
     def test_demo(self, seq_dir, tmp_path, capsys):
         out_root = osp.join(osp.dirname(seq_dir), "outputs")
