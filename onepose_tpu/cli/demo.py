@@ -69,9 +69,14 @@ def run(cfg: dict) -> dict:
     anno_dir = cfg["anno_dir"] or osp.join(
         osp.dirname(data_dir), "outputs", "anno"
     )
-    box_path = cfg["box_path"] or path_utils.box3d_path(
-        osp.dirname(data_dir)
-    )
+    box_path = cfg["box_path"]
+    if not box_path:
+        # Object-root convention first; parse-scan writes the corners
+        # inside the sequence dir itself.
+        for cand in (osp.dirname(data_dir), data_dir):
+            box_path = path_utils.box3d_path(cand)
+            if osp.exists(box_path):
+                break
     box_corners = np.loadtxt(box_path)
     anno = annotation_from_npz_dir(
         anno_dir, num_leaf=cfg["num_leaf"], shape3d=cfg["shape3d"]

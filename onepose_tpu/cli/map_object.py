@@ -115,6 +115,14 @@ def run(cfg: dict) -> dict:
     if len(seq_dirs) == 1:
         return _run_object(cfg, seq_dirs[0], cfg["out_dir"])
 
+    # Multi-host: objects are the coarsest map-block axis — each process
+    # maps its share of the roster (launcher must have called
+    # utils.comm.init_distributed / jax.distributed.initialize).
+    import jax
+
+    if jax.process_count() > 1:
+        seq_dirs = seq_dirs[jax.process_index() :: jax.process_count()]
+
     all_stats = {}
     for d in seq_dirs:
         parts = osp.normpath(d).split(osp.sep)
@@ -304,8 +312,14 @@ def _run_object(cfg: dict, data_dir: str, out_dir) -> dict:
             fingerprint=_matcher_fingerprint(cfg, feat_fp),
         )
 
-    box_path = path_utils.box3d_path(osp.dirname(data_dir))
-    box = np.loadtxt(box_path) if osp.exists(box_path) else None
+    # Object-root convention first; parse-scan writes the corners inside
+    # the sequence dir itself.
+    box = None
+    for cand in (osp.dirname(data_dir), data_dir):
+        box_path = path_utils.box3d_path(cand)
+        if osp.exists(box_path):
+            box = np.loadtxt(box_path)
+            break
 
     result = run_mapping(
         feats["keypoints"], feats["descriptors"], feats["scores"],

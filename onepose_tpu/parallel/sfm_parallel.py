@@ -5,11 +5,18 @@ The reference matches covisibility pairs one at a time on one GPU
 around a single SuperGlue forward). On TPU the pair axis IS the
 map-block axis from SURVEY §2.3 ("multi-object / map-block
 parallelism"): pairs have no cross-pair interaction, so matching is
-pure data parallelism — gather per-pair features into a stacked batch,
-pad the pair axis to a chunk that divides the mesh's data axis, and let
-GSPMD run each shard locally with zero collectives. The same chunked
-program is reused across all chunks (and across objects), so the
-matcher compiles exactly once per map run.
+pure data parallelism over fixed-size chunks of pairs, sharded over the
+mesh's data axis when one is given (zero collectives — GSPMD runs each
+shard locally).
+
+Data movement design: the sequence's feature arrays are uploaded to
+device ONCE per object and the per-pair gather happens INSIDE the jitted
+program (`jnp.take` on the frame axis). Per chunk, only the pair-index
+vectors go up and the [chunk, N] match rows come down — on a tunneled
+TPU this is the difference between ~128 MB and ~128 B of per-chunk
+transfer. The frame axis is padded to a bucket (multiple of 32) so
+rosters of different sequence lengths reuse one compiled program per
+bucket instead of recompiling per object.
 
 Both matchers return the `match_pairs(pairs) -> [P, N] int64` callable
 that `sfm.mapping.run_mapping` and `sfm.cache.CachedPairMatcher`
@@ -18,13 +25,16 @@ consume, so caching/resume composes with sharding unchanged.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from onepose_tpu.parallel.mesh import batch_sharding
+from onepose_tpu.parallel.mesh import batch_sharding, replicated
+
+_F_BUCKET = 32  # frame-axis padding quantum (compile once per bucket)
 
 
 def _chunk_size(pair_chunk: int, mesh) -> int:
@@ -35,29 +45,86 @@ def _chunk_size(pair_chunk: int, mesh) -> int:
     return max(pair_chunk, ((pair_chunk + n - 1) // n) * n)
 
 
-def _run_chunked(fn, arrays: dict, n_pairs: int, chunk: int, mesh) -> np.ndarray:
-    """Run `fn(**arrays_chunk)` over the pair axis in fixed-size chunks.
+def _pad_frames(x: np.ndarray) -> np.ndarray:
+    """Pad axis 0 (frames) to the bucket size; padded rows are never
+    indexed (pairs reference real frames only)."""
+    F = x.shape[0]
+    pad = (-F) % _F_BUCKET
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, widths)
 
-    Pads the final chunk by repeating row 0 (its outputs are dropped), so
-    the jitted program has one static shape for the whole run.
-    """
+
+def _put(arrays: dict, mesh) -> dict:
+    """Upload feature arrays once — replicated across the mesh (the
+    per-chunk gather output is what gets sharded, via its indices)."""
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+    r = replicated(mesh)
+    return {k: jax.device_put(jnp.asarray(v), r) for k, v in arrays.items()}
+
+
+def _run_chunked(fn, feats_dev: dict, pairs: np.ndarray, chunk: int, mesh):
+    """Run `fn(feats..., ii, jj)` over the pair axis in fixed-size chunks.
+
+    Pads the final chunk by repeating pair 0 (its outputs are dropped),
+    so one compiled program serves the whole run."""
+    n_pairs = len(pairs)
     outs = []
     for s in range(0, n_pairs, chunk):
         e = min(s + chunk, n_pairs)
-        idx = np.arange(s, e)
+        sel = pairs[s:e]
         if e - s < chunk:
-            idx = np.concatenate(
-                [idx, np.zeros(chunk - (e - s), np.int64)]
+            sel = np.concatenate(
+                [sel, np.tile(sel[:1], (chunk - (e - s), 1))]
             )
-        batch = {k: jnp.asarray(v[idx]) for k, v in arrays.items()}
+        ii = jnp.asarray(sel[:, 0], jnp.int32)
+        jj = jnp.asarray(sel[:, 1], jnp.int32)
         if mesh is not None:
-            batch = {
-                k: jax.device_put(v, batch_sharding(mesh, v.ndim))
-                for k, v in batch.items()
-            }
-        out = np.asarray(fn(**batch))
+            ii = jax.device_put(ii, batch_sharding(mesh, 1))
+            jj = jax.device_put(jj, batch_sharding(mesh, 1))
+        out = np.asarray(fn(ii=ii, jj=jj, **feats_dev))
         outs.append(out[: e - s])
     return np.concatenate(outs, axis=0)
+
+
+# Jitted chunk programs are cached at module level (keyed by matcher
+# config); shapes are bucketed, so multi-object rosters reuse compiled
+# programs instead of recompiling per object.
+@functools.lru_cache(maxsize=None)
+def _nn_match_fn(distance_thresh: float):
+    from onepose_tpu.models.nn_matcher import mutual_nn_match
+
+    @jax.jit
+    def _match(desc, mask, ii, jj):
+        return mutual_nn_match(
+            jnp.take(desc, ii, axis=0),
+            jnp.take(desc, jj, axis=0),
+            jnp.take(mask, ii, axis=0),
+            jnp.take(mask, jj, axis=0),
+            distance_thresh=distance_thresh,
+        )["matches0"]
+
+    return _match
+
+
+@functools.lru_cache(maxsize=None)
+def _superglue_match_fn(superglue, hw: tuple):
+    @jax.jit
+    def _match(params, kpts, desc, scores, mask, ii, jj):
+        g = lambda x, idx: jnp.take(x, idx, axis=0)
+        out = superglue.apply(
+            params,
+            g(kpts, ii), g(kpts, jj),
+            g(desc, ii), g(desc, jj),
+            g(scores, ii), g(scores, jj),
+            hw, hw,
+            g(mask, ii), g(mask, jj),
+        )
+        return out["matches0"]
+
+    return _match
 
 
 def make_nn_pair_matcher(
@@ -72,29 +139,22 @@ def make_nn_pair_matcher(
     Returns `match_pairs(pairs) -> [P, N] int64` (-1 = unmatched),
     numerically identical to the per-pair `mutual_nn_match` loop.
     """
-    from onepose_tpu.models.nn_matcher import mutual_nn_match
-
-    descriptors = np.asarray(descriptors)
-    mask = np.asarray(mask)
+    feats_dev = _put(
+        {
+            "desc": _pad_frames(np.asarray(descriptors)),
+            "mask": _pad_frames(np.asarray(mask)),
+        },
+        mesh,
+    )
     chunk = _chunk_size(pair_chunk, mesh)
-
-    @jax.jit
-    def _match(d0, d1, m0, m1):
-        return mutual_nn_match(
-            d0, d1, m0, m1, distance_thresh=distance_thresh
-        )["matches0"]
+    _match = _nn_match_fn(float(distance_thresh))
+    n_kpts = descriptors.shape[1]
 
     def match_pairs(pairs) -> np.ndarray:
         pairs = np.asarray(pairs)
         if len(pairs) == 0:
-            return np.zeros((0, descriptors.shape[1]), np.int64)
-        arrays = {
-            "d0": descriptors[pairs[:, 0]],
-            "d1": descriptors[pairs[:, 1]],
-            "m0": mask[pairs[:, 0]],
-            "m1": mask[pairs[:, 1]],
-        }
-        return _run_chunked(_match, arrays, len(pairs), chunk, mesh)
+            return np.zeros((0, n_kpts), np.int64)
+        return _run_chunked(_match, feats_dev, pairs, chunk, mesh)
 
     return match_pairs
 
@@ -114,32 +174,26 @@ def make_superglue_pair_matcher(
     per pair (reference match_features.py:45-85), sharded over the mesh
     data axis when one is given.
     """
-    kpts = np.asarray(feats["keypoints"])
-    desc = np.asarray(feats["descriptors"])
-    scores = np.asarray(feats["scores"])
-    mask = np.asarray(feats["mask"])
+    feats_dev = _put(
+        {
+            "kpts": _pad_frames(np.asarray(feats["keypoints"])),
+            "desc": _pad_frames(np.asarray(feats["descriptors"])),
+            "scores": _pad_frames(np.asarray(feats["scores"])),
+            "mask": _pad_frames(np.asarray(feats["mask"])),
+        },
+        mesh,
+    )
     hw = tuple(feats["image_hw"])
     chunk = _chunk_size(pair_chunk, mesh)
-
-    @jax.jit
-    def _match(k0, k1, d0, d1, s0, s1, m0, m1):
-        out = superglue.apply(
-            params, k0, k1, d0, d1, s0, s1, hw, hw, m0, m1
-        )
-        return out["matches0"]
+    _match_fn = _superglue_match_fn(superglue, hw)
+    _match = functools.partial(_match_fn, params)
+    n_kpts = feats["keypoints"].shape[1]
 
     def match_pairs(pairs) -> np.ndarray:
         pairs = np.asarray(pairs)
         if len(pairs) == 0:
-            return np.zeros((0, kpts.shape[1]), np.int64)
-        i, j = pairs[:, 0], pairs[:, 1]
-        arrays = {
-            "k0": kpts[i], "k1": kpts[j],
-            "d0": desc[i], "d1": desc[j],
-            "s0": scores[i], "s1": scores[j],
-            "m0": mask[i], "m1": mask[j],
-        }
-        return _run_chunked(_match, arrays, len(pairs), chunk, mesh)
+            return np.zeros((0, n_kpts), np.int64)
+        return _run_chunked(_match, feats_dev, pairs, chunk, mesh)
 
     return match_pairs
 

@@ -287,6 +287,34 @@ class TestMapInferCLI:
                 osp.join(out_root, name, "anno", "anno_index.json")
             ), name
 
+    def test_box_in_sequence_dir(self, tmp_path, capsys):
+        """parse-scan writes box3d_corners.txt inside the sequence dir;
+        map must fall back to it when the object root has none."""
+        import shutil
+
+        rng = np.random.default_rng(9)
+        seq = build_sequence(tmp_path, rng, n_frames=6, img=96, n_pts=30)
+        obj_root = osp.dirname(seq)
+        shutil.move(
+            osp.join(obj_root, "box3d_corners.txt"),
+            osp.join(seq, "box3d_corners.txt"),
+        )
+        rc = cli_main(
+            [
+                "map",
+                f"data_dir={seq}",
+                f"out_dir={tmp_path / 'out'}",
+                "max_keypoints=128",
+                "num_covis=3",
+                "max_points3d=200",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert stats["num_points3d"] > 0
+
     @pytest.mark.slow
     def test_demo(self, seq_dir, tmp_path, capsys):
         out_root = osp.join(osp.dirname(seq_dir), "outputs")
