@@ -34,6 +34,12 @@ DEFAULTS = {
     "eval_out": None,
     "seq_name": "seq",
     "dump_vis3d": None,  # dir for per-frame 3D dumps (Wis3D-export parity)
+    # Multi-chip serving: shard frame batches over the local device mesh
+    # (PosePipeline.sharded). False = single device; True = all local
+    # devices; an int = that many. The batch is rounded up to the device
+    # count. Replaces the reference's serial per-sequence GPU loop
+    # (inference.py:185-198) with SPMD data parallelism.
+    "data_parallel": False,
 }
 
 
@@ -69,6 +75,17 @@ def run(cfg: dict) -> dict:
     matcher, m_params = build_matcher(cfg)
     pipe = PosePipeline(sp, matcher, max_keypoints=cfg["max_keypoints"])
 
+    # Multi-chip serving: frame batches sharded over the data axis.
+    from onepose_tpu.parallel.sfm_parallel import resolve_sfm_mesh
+
+    mesh = resolve_sfm_mesh(cfg["data_parallel"])
+    pipe_call = None
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        cfg = dict(cfg)
+        cfg["batch"] = ((cfg["batch"] + n_dev - 1) // n_dev) * n_dev
+        pipe_call = pipe.sharded(mesh)
+
     per_seq = {}
     overall = Evaluator()
     total_frames = 0
@@ -85,7 +102,8 @@ def run(cfg: dict) -> dict:
             else osp.basename(osp.normpath(seq_dir))
         )
         m = _eval_sequence(
-            cfg, seq_dir, anno, pipe, sp_params, m_params, overall
+            cfg, seq_dir, anno, pipe, sp_params, m_params, overall,
+            pipe_call=pipe_call,
         )
         per_seq[seq_name] = m
         total_frames += m["num_frames"]
@@ -109,8 +127,11 @@ def run(cfg: dict) -> dict:
 
 
 def _eval_sequence(
-    cfg: dict, data_dir: str, anno, pipe, sp_params, m_params, overall
+    cfg: dict, data_dir: str, anno, pipe, sp_params, m_params, overall,
+    pipe_call=None,
 ) -> dict:
+    """pipe_call overrides the image-path pipeline invocation (e.g. the
+    sharded SPMD program); the cached-features path stays single-device."""
     from onepose_tpu.data import paths as path_utils
     from onepose_tpu.eval import Evaluator
 
@@ -170,7 +191,8 @@ def _eval_sequence(
                 jax.random.PRNGKey(s),
             )
         else:
-            out = pipe(
+            call = pipe_call or pipe
+            out = call(
                 sp_params, m_params,
                 jnp.asarray(np.stack(imgs))[..., None],
                 jnp.asarray(np.stack(Ks)),

@@ -184,7 +184,15 @@ def make_superglue_pair_matcher(
         mesh,
     )
     hw = tuple(feats["image_hw"])
-    chunk = _chunk_size(pair_chunk, mesh)
+    # HBM guard: each in-flight pair holds ~3 [N+1, N+1] fp32 coupling
+    # buffers through Sinkhorn (reference SfM budget is 4096 kpts ->
+    # ~200 MB/pair); cap the chunk near 1.5 GB of couplings per shard.
+    n = np.asarray(feats["keypoints"]).shape[1]
+    per_pair = 3 * 4 * (n + 1) * (n + 1)
+    cap = max(1, int(1.5e9 // per_pair))
+    if mesh is not None:
+        cap *= mesh.devices.size
+    chunk = _chunk_size(min(pair_chunk, cap), mesh)
     _match_fn = _superglue_match_fn(superglue, hw)
     _match = functools.partial(_match_fn, params)
     n_kpts = feats["keypoints"].shape[1]

@@ -238,20 +238,26 @@ class PosePipeline:
                 )
             return repl
 
+        cache = {}
+
         def run(sp_params, matcher_params, images, K, anno, key=None):
             if key is None:
                 key = jax.random.PRNGKey(0)
-            batch_sh = (spec(images), spec(K))
-            fn = jax.jit(
-                self._forward,
-                in_shardings=(
-                    jax.tree.map(lambda _: repl, sp_params),
-                    jax.tree.map(lambda _: repl, matcher_params),
-                    *batch_sh,
-                    jax.tree.map(lambda _: repl, anno),
-                    repl,
-                ),
-            )
-            return fn(sp_params, matcher_params, images, K, anno, key)
+            # Build the jitted program once and reuse it across calls
+            # (a fresh jax.jit wrapper per call would re-trace every
+            # batch in steady-state serving).
+            if "fn" not in cache:
+                batch_sh = (spec(images), spec(K))
+                cache["fn"] = jax.jit(
+                    self._forward,
+                    in_shardings=(
+                        jax.tree.map(lambda _: repl, sp_params),
+                        jax.tree.map(lambda _: repl, matcher_params),
+                        *batch_sh,
+                        jax.tree.map(lambda _: repl, anno),
+                        repl,
+                    ),
+                )
+            return cache["fn"](sp_params, matcher_params, images, K, anno, key)
 
         return run

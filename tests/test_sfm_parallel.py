@@ -169,6 +169,52 @@ def test_global_ba_distributed_matches_single():
     )
 
 
+def test_infer_data_parallel_matches_serial(tmp_path, capsys):
+    """`infer data_parallel=true` (PosePipeline.sharded over the 8-device
+    mesh) must produce the same recall metrics as the single-device run."""
+    from onepose_tpu.__main__ import main as cli_main
+    from tests.test_cli import build_sequence
+
+    rng = np.random.default_rng(11)
+    seq_dir = build_sequence(tmp_path, rng, n_frames=8, img=96, n_pts=40)
+    out_dir = str(tmp_path / "out")
+    rc = cli_main(
+        [
+            "map",
+            f"data_dir={seq_dir}",
+            f"out_dir={out_dir}",
+            "max_keypoints=128",
+            "num_covis=3",
+            "max_points3d=200",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    metrics = {}
+    for tag, dp in (("serial", "false"), ("dp", "true")):
+        rc = cli_main(
+            [
+                "infer",
+                f"data_dir={seq_dir}",
+                f"anno_dir={osp.join(out_dir, 'anno')}",
+                "max_keypoints=128",
+                "shape3d=200",
+                "batch=4",
+                f"data_parallel={dp}",
+            ]
+        )
+        assert rc == 0
+        metrics[tag] = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+    assert metrics["dp"]["num_frames"] == metrics["serial"]["num_frames"]
+    for k in ("cmd1", "cmd3", "cmd5"):
+        np.testing.assert_allclose(
+            metrics["dp"][k], metrics["serial"][k], atol=1e-9
+        ), (k, metrics)
+
+
 def test_map_data_parallel_matches_serial(tmp_path, capsys):
     """`map` with data_parallel=True reproduces the serial reconstruction
     bit-for-bit (same stats, same point count): frame extraction and pair
