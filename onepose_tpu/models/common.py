@@ -99,13 +99,36 @@ def masked_softmax_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Multi-head scaled dot-product attention with key-side masking.
 
     q: [B, N, H, D]; k, v: [B, M, H, D]; kv_mask: [B, M] (True = valid).
     Returns [B, N, H, D]. Invalid keys receive ~zero probability.
+
+    compute_dtype (e.g. bfloat16) feeds the two big contractions
+    low-precision OPERANDS with fp32 MXU accumulation
+    (preferred_element_type); the softmax itself stays fp32. None keeps
+    the all-fp32 path.
     """
     d = q.shape[-1]
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        cd = compute_dtype
+        logits = jnp.einsum(
+            "bnhd,bmhd->bhnm",
+            q.astype(cd),
+            k.astype(cd),
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(jnp.asarray(d, jnp.float32))
+        if kv_mask is not None:
+            logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bhnm,bmhd->bnhd",
+            probs.astype(cd),
+            v.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(
         jnp.asarray(d, q.dtype)
     )
@@ -121,6 +144,7 @@ def masked_linear_attention(
     v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray] = None,
     eps: float = 1e-6,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Linear (kernelized) attention with the elu+1 feature map.
 
@@ -129,12 +153,39 @@ def masked_linear_attention(
     phi(k)). Masked keys contribute nothing (phi(k) is zeroed — valid
     because phi > 0 elsewhere). Matches the reference's value-length
     conditioning (divide V by M, multiply the result back).
+
+    compute_dtype (e.g. bfloat16) feeds the two big contractions
+    low-precision OPERANDS with fp32 MXU accumulation; the feature map and
+    the normalizer z stay fp32 (bf16 normalizers are unstable). None keeps
+    the all-fp32 path.
     """
+    m = v.shape[1]
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        cd = compute_dtype
+        phi_q = nn.elu(q.astype(jnp.float32)) + 1.0
+        phi_k = nn.elu(k.astype(jnp.float32)) + 1.0
+        if kv_mask is not None:
+            phi_k = phi_k * kv_mask.astype(phi_k.dtype)[:, :, None, None]
+        kv = jnp.einsum(
+            "bmhd,bmhe->bhde",
+            phi_k.astype(cd),
+            (v.astype(jnp.float32) / m).astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        z = 1.0 / (
+            jnp.einsum("bnhd,bhd->bnh", phi_q, jnp.sum(phi_k, axis=1)) + eps
+        )
+        out = jnp.einsum(
+            "bnhd,bhde->bnhe",
+            phi_q.astype(cd),
+            kv.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        return out * (z[..., None] * m)
     phi_q = nn.elu(q) + 1.0
     phi_k = nn.elu(k) + 1.0
     if kv_mask is not None:
         phi_k = phi_k * kv_mask.astype(phi_k.dtype)[:, :, None, None]
-    m = v.shape[1]
     v_scaled = v / m
     kv = jnp.einsum("bmhd,bmhe->bhde", phi_k, v_scaled)
     z = 1.0 / (
@@ -166,6 +217,11 @@ class MultiHeadAttention(nn.Module):
     kind: str = "softmax"
     mesh: Optional[jax.sharding.Mesh] = None
     dtype: jnp.dtype = jnp.float32
+    # Mixed-precision attention internals: the big contraction einsums take
+    # `dtype` (bf16) OPERANDS with fp32 MXU accumulation instead of full
+    # fp32 operands; softmax / linear-attention normalizers stay fp32
+    # either way. No effect when dtype is fp32 or on the sharded paths.
+    mixed: bool = False
 
     @nn.compact
     def __call__(
@@ -193,7 +249,14 @@ class MultiHeadAttention(nn.Module):
         # Attention internals in fp32 (softmax / linear-attention
         # normalizers lose too much in bf16); the projections above and the
         # merge below carry the bf16 MXU benefit — they hold the FLOPs.
+        # mixed=True additionally feeds the contraction einsums bf16
+        # operands with fp32 accumulation (normalizers still fp32).
         q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+        cd = (
+            self.dtype
+            if self.mixed and jnp.dtype(self.dtype) != jnp.float32
+            else None
+        )
         if self.mesh is not None and spmd in ("kv", "qkv"):
             # Deferred import: parallel.sharded_attention imports NEG_INF
             # from this module.
@@ -217,9 +280,13 @@ class MultiHeadAttention(nn.Module):
                     v_length=m, q_sharded=(spmd == "qkv"),
                 )
         elif self.kind == "softmax":
-            out = masked_softmax_attention(q, k, v, source_mask)
+            out = masked_softmax_attention(
+                q, k, v, source_mask, compute_dtype=cd
+            )
         else:
-            out = masked_linear_attention(q, k, v, source_mask)
+            out = masked_linear_attention(
+                q, k, v, source_mask, compute_dtype=cd
+            )
         out = out.astype(self.dtype)
         out = out.reshape(b, n, self.d_model)
         return nn.Dense(self.d_model, dtype=self.dtype, name="merge")(out)
@@ -239,6 +306,7 @@ class AttentionalPropagation(nn.Module):
     norm: str = "batch"
     mesh: Optional[jax.sharding.Mesh] = None
     dtype: jnp.dtype = jnp.float32
+    mixed_attention: bool = False  # see MultiHeadAttention.mixed
 
     @nn.compact
     def __call__(
@@ -251,7 +319,7 @@ class AttentionalPropagation(nn.Module):
     ) -> jnp.ndarray:
         message = MultiHeadAttention(
             self.num_heads, self.d_model, kind=self.kind, mesh=self.mesh,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, mixed=self.mixed_attention, name="attn",
         )(x, source, source_mask, spmd=spmd)
         mlp = PointMLP(
             [2 * self.d_model, self.d_model],

@@ -59,6 +59,11 @@ class GATsSPG(nn.Module):
     # auto-partitionable); batch stays sharded over mesh['data'].
     mesh: Optional[jax.sharding.Mesh] = None
     dtype: jnp.dtype = jnp.float32
+    # Mixed-precision attention internals (MultiHeadAttention.mixed): bf16
+    # contraction operands + fp32 accumulation/normalizers. Only active
+    # when dtype is bf16; opt-in per the kernel policy (flip requires an
+    # end-to-end bench + match-agreement check).
+    mixed_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -129,11 +134,13 @@ class GATsSPG(nn.Module):
             # loop (GATs_SuperGlue.py:74-83).
             self_layer = AttentionalPropagation(
                 self.d_model, self.num_heads, kind="linear", norm="instance",
-                mesh=self.mesh, dtype=self.dtype, name=f"self_{blk}",
+                mesh=self.mesh, dtype=self.dtype,
+                mixed_attention=self.mixed_attention, name=f"self_{blk}",
             )
             cross_layer = AttentionalPropagation(
                 self.d_model, self.num_heads, kind="linear", norm="instance",
-                mesh=self.mesh, dtype=self.dtype, name=f"cross_{blk}",
+                mesh=self.mesh, dtype=self.dtype,
+                mixed_attention=self.mixed_attention, name=f"cross_{blk}",
             )
 
             if self.block_fused:

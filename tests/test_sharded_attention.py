@@ -155,3 +155,57 @@ class TestShardedGATsSPG:
         params = GATsSPG().init(jax.random.PRNGKey(0), *args, *masks)
         with pytest.raises(AssertionError, match="points-sharded"):
             model.apply(params, *args, *masks)
+
+
+def test_mixed_precision_attention_matches_fp32():
+    """bf16-operand / fp32-accumulate attention internals
+    (compute_dtype=bfloat16) must track the fp32 path to bf16 rounding
+    tolerance for both attention kinds."""
+    rng = np.random.default_rng(5)
+    q, k, v, mask = _qkv(rng, B=2, N=64, M=128)
+    for fn in (masked_linear_attention, masked_softmax_attention):
+        ref = np.asarray(fn(q, k, v, mask))
+        mixed = np.asarray(
+            fn(q, k, v, mask, compute_dtype=jnp.bfloat16)
+        )
+        assert mixed.dtype == np.float32  # fp32 accumulation output
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(mixed, ref, atol=2e-2 * scale)
+
+
+def test_mixed_attention_matcher_same_matches():
+    """GATsSPG(dtype=bf16, mixed_attention=True) must produce (nearly)
+    the same matches as the pinned-fp32-internals bf16 matcher, with an
+    unchanged parameter tree."""
+    from onepose_tpu.models.gats_spg import GATsSPG
+
+    rng = np.random.default_rng(6)
+    b, n2, n3, L, C = 1, 96, 160, 8, 256
+    d2 = jnp.asarray(rng.normal(size=(b, n2, C)), jnp.float32)
+    # Plant correlated descriptors so real matches exist.
+    d3 = jnp.asarray(rng.normal(size=(b, n3, C)), jnp.float32)
+    d3 = d3.at[:, :n2].set(d2 + 0.05 * d3[:, :n2])
+    leaves = jnp.asarray(rng.normal(size=(b, n3, L, C)), jnp.float32)
+    m2 = jnp.ones((b, n2), bool)
+    m3 = jnp.ones((b, n3), bool)
+    lm = jnp.ones((b, n3, L), bool)
+
+    base = GATsSPG(dtype=jnp.bfloat16, fused_match=False)
+    mixed = GATsSPG(
+        dtype=jnp.bfloat16, fused_match=False, mixed_attention=True
+    )
+    params = base.init(jax.random.PRNGKey(0), d2, d3, leaves, m2, m3, lm)
+    params_m = mixed.init(jax.random.PRNGKey(0), d2, d3, leaves, m2, m3, lm)
+    assert jax.tree.structure(params) == jax.tree.structure(params_m)
+
+    out_b = base.apply(params, d2, d3, leaves, m2, m3, lm)
+    out_m = mixed.apply(params, d2, d3, leaves, m2, m3, lm)
+    agree = np.mean(
+        np.asarray(out_b["matches0"]) == np.asarray(out_m["matches0"])
+    )
+    assert agree > 0.99, agree
+    np.testing.assert_allclose(
+        np.asarray(out_m["conf_matrix"]),
+        np.asarray(out_b["conf_matrix"]),
+        atol=5e-2,
+    )
