@@ -93,6 +93,27 @@ def _matcher_fingerprint(cfg: dict, feature_fingerprint: str) -> str:
     )
 
 
+def _roster_names(seq_dirs: list) -> list:
+    """Unique output directory name per roster entry, deterministic in the
+    roster order (so every process derives identical names)."""
+    taken: dict = {}
+    names = []
+    for d in seq_dirs:
+        parts = osp.normpath(d).split(osp.sep)
+        name = "_".join(p for p in parts[-2:] if p)
+        k = 2
+        while name in taken and k < len(parts):
+            k += 1  # disambiguate with more path context
+            name = "_".join(p for p in parts[-k:] if p)
+        n = 2
+        while name in taken:  # same path listed twice
+            name = f"{name}.{n}"
+            n += 1
+        taken[name] = d
+        names.append(name)
+    return names
+
+
 def run(cfg: dict) -> dict:
     """Build maps for one sequence or a roster. `data_dir` may be a single
     directory, a comma-separated list, or a glob pattern — the reference
@@ -115,26 +136,24 @@ def run(cfg: dict) -> dict:
     if len(seq_dirs) == 1:
         return _run_object(cfg, seq_dirs[0], cfg["out_dir"])
 
+    # Output names must be derived from the FULL roster before any
+    # process-sharding: disambiguation is stateful (it appends path
+    # context on collision), and if each process named only its own share,
+    # two processes could map DIFFERENT objects to the SAME directory and
+    # race on its caches (caught by tests/test_multiprocess.py).
+    names = _roster_names(seq_dirs)
+    jobs = list(zip(seq_dirs, names))
+
     # Multi-host: objects are the coarsest map-block axis — each process
     # maps its share of the roster (launcher must have called
     # utils.comm.init_distributed / jax.distributed.initialize).
     import jax
 
     if jax.process_count() > 1:
-        seq_dirs = seq_dirs[jax.process_index() :: jax.process_count()]
+        jobs = jobs[jax.process_index() :: jax.process_count()]
 
     all_stats = {}
-    for d in seq_dirs:
-        parts = osp.normpath(d).split(osp.sep)
-        name = "_".join(p for p in parts[-2:] if p)
-        k = 2
-        while name in all_stats and k < len(parts):
-            k += 1  # disambiguate with more path context
-            name = "_".join(p for p in parts[-k:] if p)
-        n = 2
-        while name in all_stats:  # same path listed twice
-            name = f"{name}.{n}"
-            n += 1
+    for d, name in jobs:
         out_dir = osp.join(cfg["out_dir"], name) if cfg["out_dir"] else None
         all_stats[name] = _run_object(cfg, d, out_dir)
     summary = {

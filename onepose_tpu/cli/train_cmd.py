@@ -23,6 +23,9 @@ DEFAULTS = {
     "num_workers": 4,
     "tensorboard": True,
     "code_snapshot": True,
+    # Sweep hook: name of the history metric to return/emit for
+    # hyperparameter search (reference train.py:92-94 `optimized_metric`).
+    "optimized_metric": "train_loss",
 }
 
 
@@ -81,14 +84,21 @@ def run(cfg: dict) -> dict:
             ckpt_dir=osp.join(cfg["run_dir"], "ckpt"),
             metrics_file=osp.join(cfg["run_dir"], "metrics.jsonl"),
             seed=cfg["seed"],
+            optimized_metric=cfg["optimized_metric"],
         ),
         batch_iterator_fn=partial(
             batch_iterator, num_workers=cfg["num_workers"]
         ),
         callbacks=callbacks,
     )
-    print(json.dumps(out["history"][-1] if out["history"] else {}))
-    return out["history"][-1] if out["history"] else {}
+    summary = dict(out["history"][-1]) if out["history"] else {}
+    if cfg["optimized_metric"]:
+        summary["optimized_metric"] = cfg["optimized_metric"]
+        summary["optimized_metric_value"] = out.get(
+            "optimized_metric_value"
+        )
+    print(json.dumps(summary))
+    return summary
 
 
 def add_parser(subparsers):

@@ -57,6 +57,48 @@ class Evaluator:
             self.reset()
         return out
 
+    def counts(self) -> dict:
+        """Fixed-size sufficient statistics for cross-process aggregation
+        (the reference gathers per-rank metric lists with comm.gather,
+        GATsSPG_lightning_model.py:99-103; here the statistics are summed
+        so only O(1) floats cross DCN)."""
+        r = np.asarray(self.r_errs)
+        t = np.asarray(self.t_errs)
+        out = {
+            f"hits_{x}": float(np.sum((r < x) & (t < x))) if len(r) else 0.0
+            for x in self.thresholds
+        }
+        out["n"] = float(len(r))
+        fin = np.isfinite(r)
+        out["rot_sum"] = float(np.sum(r[fin])) if fin.any() else 0.0
+        out["rot_cnt"] = float(fin.sum())
+        fin = np.isfinite(t)
+        out["trans_sum"] = float(np.sum(t[fin])) if fin.any() else 0.0
+        out["trans_cnt"] = float(fin.sum())
+        return out
+
+    @staticmethod
+    def combine_counts(counts: list) -> dict:
+        """Merge per-process `counts()` dicts into summarize()-format
+        metrics. Exact: recalls weight every frame equally regardless of
+        how frames were sharded across processes."""
+        tot = {k: sum(float(c[k]) for c in counts) for k in counts[0]}
+        n = tot["n"]
+        out = {}
+        for k in tot:
+            if k.startswith("hits_"):
+                out["cmd" + k[5:]] = tot[k] / n if n else 0.0
+        out["mean_rot_deg"] = (
+            tot["rot_sum"] / tot["rot_cnt"] if tot["rot_cnt"] else float("inf")
+        )
+        out["mean_trans_cm"] = (
+            tot["trans_sum"] / tot["trans_cnt"]
+            if tot["trans_cnt"]
+            else float("inf")
+        )
+        out["num_frames"] = int(n)
+        return out
+
 
 def record_eval_result(out_dir: str, name: str, metrics: dict) -> str:
     """Write per-sequence eval results as a text file

@@ -28,6 +28,28 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9
 
+_MIXED_DOT_SUPPORTED: Optional[bool] = None
+
+
+def backend_supports_mixed_dot() -> bool:
+    """True if this backend can execute bf16 x bf16 -> f32 contractions.
+
+    TPU's MXU accumulates bf16 operands in fp32 natively; some CPU
+    backends reject the pattern at dispatch ("Unsupported element type for
+    DotThunk"). Probed once per process with a tiny eager dot; on failure
+    the mixed-precision attention paths upcast operands to fp32 (same
+    math, no MXU win — only reachable off-TPU)."""
+    global _MIXED_DOT_SUPPORTED
+    if _MIXED_DOT_SUPPORTED is None:
+        # Capability probes are unreliable here: the CPU backend routes
+        # small contractions through a generic loop that accepts bf16 but
+        # rejects the same dtype combination in its optimized DotThunk,
+        # so whether a given dot fails depends on shape/layout heuristics.
+        # Accelerator backends (MXU / tensor cores) support the pattern
+        # natively; everything else gets the fp32-operand fallback.
+        _MIXED_DOT_SUPPORTED = jax.default_backend() in ("tpu", "gpu")
+    return _MIXED_DOT_SUPPORTED
+
 
 class PointMLP(nn.Module):
     """MLP applied pointwise over [B, N, C]: Dense+norm+ReLU stack.
@@ -113,7 +135,15 @@ def masked_softmax_attention(
     """
     d = q.shape[-1]
     if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
-        cd = compute_dtype
+        # Round operands through compute_dtype always (deterministic
+        # numerics across backends); feed the dots fp32 operands where the
+        # backend can't execute mixed-operand accumulation.
+        cd = (
+            compute_dtype if backend_supports_mixed_dot() else jnp.float32
+        )
+        q = q.astype(compute_dtype)
+        k = k.astype(compute_dtype)
+        v = v.astype(compute_dtype)
         logits = jnp.einsum(
             "bnhd,bmhd->bhnm",
             q.astype(cd),
@@ -161,7 +191,11 @@ def masked_linear_attention(
     """
     m = v.shape[1]
     if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
-        cd = compute_dtype
+        cd = (
+            compute_dtype if backend_supports_mixed_dot() else jnp.float32
+        )
+        # Round through compute_dtype for backend-independent numerics.
+        v = v.astype(compute_dtype)
         phi_q = nn.elu(q.astype(jnp.float32)) + 1.0
         phi_k = nn.elu(k.astype(jnp.float32)) + 1.0
         if kv_mask is not None:

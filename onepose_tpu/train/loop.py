@@ -48,6 +48,10 @@ class LoopConfig:
     metrics_file: str = "runs/metrics.jsonl"
     resume: bool = True
     seed: int = 12345
+    # Name of the history metric returned to sweep tooling (the
+    # reference's `optimized_metric` return for Optuna,
+    # /root/reference/train.py:92-94), e.g. "val_cmd5" or "train_loss".
+    optimized_metric: Optional[str] = None
 
 
 def _log(metrics_file: str, record: dict) -> None:
@@ -158,7 +162,19 @@ def train(
         save_checkpoint(loop_cfg.ckpt_dir, state, epoch)
     for cb in callbacks:
         cb.on_train_end(history)
-    return {"state": state, "history": history}
+    result = {"state": state, "history": history}
+    if loop_cfg.optimized_metric is not None:
+        # Final value of the monitored metric (reference semantics: the
+        # trainer's callback_metrics entry after fit, train.py:92-94).
+        vals = [
+            r[loop_cfg.optimized_metric]
+            for r in history
+            if loop_cfg.optimized_metric in r
+        ]
+        result["optimized_metric_value"] = (
+            float(vals[-1]) if vals else None
+        )
+    return result
 
 
 def make_pose_val_fn(
@@ -166,15 +182,23 @@ def make_pose_val_fn(
     model: GATsSPG,
     batch_size: int = 1,
     n_hyp: int = 256,
+    distributed: bool = True,
 ) -> Callable:
     """Validation that closes the loop to metric pose accuracy: matcher ->
     mutual matches -> RANSAC PnP -> cm-deg recall (the reference's
     validation semantics, GATsSPG_lightning_model.py:53-73).
 
     val_dataset items must include kpts2d, points3d, pose_gt, K.
+
+    distributed: under jax.process_count() > 1, each process evaluates a
+    strided shard of the val set and sufficient statistics are summed
+    across processes (the reference's cross-rank comm.gather of val
+    metrics, GATsSPG_lightning_model.py:99-103) — every process returns
+    the identical full-dataset metrics.
     """
 
     def val_fn(state) -> dict:
+        n_proc = jax.process_count() if distributed else 1
         ev = Evaluator()
         apply = jax.jit(
             lambda p, b: model.apply(
@@ -187,7 +211,12 @@ def make_pose_val_fn(
                 b["leaf_mask"],
             )
         )
-        for i in range(len(val_dataset)):
+        indices = range(len(val_dataset))
+        if n_proc > 1:
+            indices = range(
+                jax.process_index(), len(val_dataset), n_proc
+            )
+        for i in indices:
             item = val_dataset[i]
             batch = {
                 k: jnp.asarray(v)[None]
@@ -208,6 +237,13 @@ def make_pose_val_fn(
             ev.evaluate(
                 np.asarray(res["pose"]), np.asarray(item["pose_gt"])
             )
-        return {f"val_{k}": v for k, v in ev.summarize().items()}
+        if n_proc > 1:
+            from onepose_tpu.utils.comm import all_gather_pytree
+
+            counts = all_gather_pytree(ev.counts())
+            metrics = Evaluator.combine_counts(counts)
+        else:
+            metrics = ev.summarize()
+        return {f"val_{k}": v for k, v in metrics.items()}
 
     return val_fn

@@ -1,0 +1,140 @@
+"""REAL multi-process (multi-host simulation) tests.
+
+Each test launches tests/mp_worker.py as 2 separate OS processes joined
+via jax.distributed over a local TCP coordinator (CPU backend, 1 local
+device per process — the DCN topology of a 2-host pod minus the
+hardware). This executes the multi-host code paths for real:
+utils.comm collectives, the process-sharded map roster
+(cli/map_object.py), and cross-process val-metric aggregation
+(train/loop.make_pose_val_fn).
+
+Reference parity targets: torch.distributed gather helpers
+(src/utils/comm.py:141-258) consumed by the DDP validation epoch
+(src/models/GATsSPG_lightning_model.py:99-103). SURVEY.md §4 prescribes
+exactly this CPU multi-process simulation strategy.
+"""
+
+import json
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = osp.join(osp.dirname(__file__), "mp_worker.py")
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch(task: str, workdir: str, nproc: int = 2, data: dict = None,
+            timeout: int = 900):
+    """Spawn nproc workers, wait for all, fail loudly with their output."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers get 1 local device each
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(nproc):
+        cmd = [
+            sys.executable, WORKER, task,
+            "--pid", str(pid), "--nproc", str(nproc),
+            "--port", str(port), "--workdir", workdir,
+        ]
+        if data is not None:
+            cmd += ["--data", json.dumps(data)]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"worker {pid} rc={p.returncode}\n--- output ---\n{out[-4000:]}"
+        )
+    return [
+        json.load(open(osp.join(workdir, f"{task}_rank{pid}.json")))
+        for pid in range(nproc)
+    ]
+
+
+@pytest.mark.slow
+def test_comm_collectives_two_processes(tmp_path):
+    """init_distributed + all_gather_pytree + reduce_dict + synchronize
+    under a real process_count=2 group (the workers assert the gathered
+    contents rank-by-rank; the parent checks the reductions)."""
+    results = _launch("comm", str(tmp_path))
+    for rank, r in enumerate(results):
+        assert r["world"] == 2
+        assert r["rank"] == rank
+        # mean of {1, 2} and sum of {1, 2}, identical on every rank
+        assert r["avg_x"] == pytest.approx(1.5)
+        assert r["avg_y"] == pytest.approx(2.0)
+        assert r["sum_x"] == pytest.approx(3.0)
+
+
+@pytest.mark.slow
+def test_val_metric_aggregation_matches_single_process(tmp_path):
+    """Sharded validation (each rank evaluates half the val set, counts
+    summed across processes) returns the EXACT single-process metrics on
+    every rank — reference DDP val gather semantics."""
+    results = _launch("val", str(tmp_path))
+    r0, r1 = results
+    # Both ranks report identical aggregated metrics.
+    for k in r0["dist"]:
+        assert r0["dist"][k] == pytest.approx(r1["dist"][k], abs=1e-9), k
+    # Rank 0 verified dist == dense in-process; re-check here.
+    for k, v in r0["dense"].items():
+        assert r0["dist"][k] == pytest.approx(v, abs=1e-9), k
+    assert r0["dist"]["val_num_frames"] == 6
+
+
+@pytest.mark.slow
+def test_map_roster_process_sharded(tmp_path):
+    """Two processes, two objects: each rank maps exactly its strided
+    share of the roster (cli/map_object.py:123-124) and all artifacts
+    land in the shared out_dir."""
+    from tests.test_cli import build_sequence
+
+    rng = np.random.default_rng(11)
+    seq_a = build_sequence(tmp_path / "a", rng, n_frames=6, img=96,
+                           n_pts=30)
+    seq_b = build_sequence(tmp_path / "b", rng, n_frames=6, img=96,
+                           n_pts=30)
+    out_dir = str(tmp_path / "maps")
+    results = _launch(
+        "map", str(tmp_path),
+        data={"seq_dirs": [seq_a, seq_b], "out_dir": out_dir},
+    )
+    r0, r1 = results
+    assert r0["num_objects"] == 1 and r1["num_objects"] == 1
+    # Disjoint shares covering the roster.
+    assert not set(r0["objects"]) & set(r1["objects"])
+    all_objects = sorted(set(r0["objects"]) | set(r1["objects"]))
+    assert len(all_objects) == 2
+    for name in all_objects:
+        assert osp.exists(
+            osp.join(out_dir, name, "anno", "anno_index.json")
+        ), name
+        assert osp.exists(osp.join(out_dir, name, "points.ply")), name
+    for points in {**r0["points"], **r1["points"]}.values():
+        assert points > 0
