@@ -75,9 +75,17 @@ def load_matcher_params(
         sd = torch.load(weights, map_location="cpu")
         sd = sd.get("state_dict", sd)
         return gats_spg_from_torch(sd)
-    from onepose_tpu.utils.checkpoint import load_checkpoint
+    # msgpack: either bare params or a full TrainState saved by the train
+    # loop (ckpt_<epoch>.msgpack / best.msgpack) — the reference's
+    # load_from_checkpoint likewise accepts Lightning checkpoints that
+    # carry optimizer state (inference.py:55).
+    from flax import serialization
 
-    return load_checkpoint(weights, example)
+    with open(weights, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and {"step", "params", "opt_state"} <= set(raw):
+        raw = raw["params"]
+    return serialization.from_state_dict(example, raw)
 
 
 def build_matcher(cfg: dict):

@@ -628,6 +628,161 @@ class TestEndToEndAccuracy:
         assert metrics["mean_rot_deg"] < 0.1, metrics
 
     @pytest.mark.slow
+    def test_trained_gats_matcher_solves_poses(self, tmp_path, capsys):
+        """Train-to-recall gate (VERDICT r3 item 2): a GATsSPG trained
+        FROM SCRATCH through the real `train` CLI on map artifacts built
+        by the real `map` CLI must solve poses on held-out viewpoints via
+        `infer matcher=gats` with the trained checkpoint.
+
+        Mirrors the reference's acceptance loop (README.md:93-99; val-time
+        PnP from the learned matcher, GATsSPG_lightning_model.py:39-73)
+        on a synthetic oracle object: exact GT projections with a unique
+        unit descriptor per 3D point injected at the feature boundary.
+        Query-frame descriptors are perturbed (sigma=0.05, renormalized)
+        so inference never sees training inputs bit-identically.
+        """
+        h5py = pytest.importorskip("h5py")  # noqa: F841
+        cv2 = pytest.importorskip("cv2")
+        from onepose_tpu.sfm.cache import save_features_h5
+
+        rng = np.random.default_rng(11)
+        n_pts, img, f_len = 32, 128, 200.0
+        obj_root = tmp_path / "obj"
+
+        g = np.stack(
+            np.meshgrid(*[np.linspace(-0.08, 0.08, 4)] * 3), -1
+        ).reshape(-1, 3)
+        pts3d = (
+            g[rng.permutation(len(g))[:n_pts]]
+            + rng.uniform(-0.01, 0.01, (n_pts, 3))
+        ).astype(np.float64)
+        K = np.array(
+            [[f_len, 0, img / 2], [0, f_len, img / 2], [0, 0, 1]],
+            np.float64,
+        )
+        desc = rng.normal(size=(n_pts, 256)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        obj_root.mkdir()
+        np.savetxt(
+            str(obj_root / "box3d_corners.txt"),
+            np.array(
+                [[x, y, z] for y in (0.15, -0.15) for x, z in
+                 [(-0.15, -0.15), (-0.15, 0.15), (0.15, 0.15),
+                  (0.15, -0.15)]]
+            ),
+        )
+
+        def write_seq(name, angles, desc_noise=0.0):
+            seq = obj_root / name
+            for sub in ("color", "poses_ba", "intrin_ba"):
+                (seq / sub).mkdir(parents=True)
+            kps, descs, scores, mask, names = [], [], [], [], []
+            for f, ang in enumerate(angles):
+                center = np.array(
+                    [np.cos(ang) * 0.6, np.sin(ang) * 0.6, 0.4]
+                )
+                z = -center / np.linalg.norm(center)
+                x = np.cross([0, 0, 1.0], z)
+                x /= np.linalg.norm(x)
+                y = np.cross(z, x)
+                R = np.stack([x, y, z])
+                t = -R @ center
+                pose = np.eye(4)
+                pose[:3, :3] = R
+                pose[:3, 3] = t
+                uvw = (pts3d @ R.T + t) @ K.T
+                uv = uvw[:, :2] / uvw[:, 2:3]
+                d = desc
+                if desc_noise:
+                    d = desc + desc_noise * rng.normal(
+                        size=desc.shape
+                    ).astype(np.float32)
+                    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+                kps.append(uv.astype(np.float32))
+                descs.append(d.astype(np.float32))
+                scores.append(np.ones(n_pts, np.float32))
+                mask.append(np.ones(n_pts, bool))
+                names.append(f"{f}.png")
+                cv2.imwrite(
+                    str(seq / "color" / f"{f}.png"),
+                    np.zeros((img, img), np.uint8),
+                )
+                np.savetxt(str(seq / "poses_ba" / f"{f}.txt"), pose)
+                np.savetxt(str(seq / "intrin_ba" / f"{f}.txt"), K)
+            cache = str(seq / "feats-superpoint.h5")
+            save_features_h5(
+                cache, names, np.stack(kps), np.stack(descs),
+                np.stack(scores), np.stack(mask), (img, img),
+            )
+            return str(seq), cache
+
+        n_map = 10
+        seq_map, _ = write_seq(
+            "seq_map",
+            [0.6 * f / n_map * 2 * np.pi for f in range(n_map)],
+        )
+        seq_query, query_cache = write_seq(
+            "seq_query",
+            [0.6 * (f + 0.5) / n_map * 2 * np.pi for f in range(5)],
+            desc_noise=0.05,
+        )
+
+        out_dir = str(obj_root / "outputs")
+        import os
+        import shutil
+
+        os.makedirs(out_dir, exist_ok=True)
+        shutil.copy(
+            osp.join(seq_map, "feats-superpoint.h5"),
+            osp.join(out_dir, "feats-superpoint.h5"),
+        )
+        rc = cli_main(
+            [
+                "map", f"data_dir={seq_map}", f"out_dir={out_dir}",
+                f"max_keypoints={n_pts}", "num_covis=4",
+                "max_points3d=100", "redo=false",
+            ]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["num_points3d"] == n_pts, stats
+
+        run_dir = str(tmp_path / "train_run")
+        rc = cli_main(
+            [
+                "train",
+                f"anno_index={osp.join(out_dir, 'anno', 'anno_index.json')}",
+                f"run_dir={run_dir}",
+                "shape2d=48", "shape3d=48", "batch_size=4",
+                "max_epochs=60", "accumulate=1", "num_workers=0",
+                "tensorboard=false", "code_snapshot=false",
+            ]
+        )
+        assert rc == 0
+        record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert np.isfinite(record["train_loss"])
+        ckpt = osp.join(run_dir, "ckpt", "best.msgpack")
+        assert osp.exists(ckpt)
+
+        infer_args = [
+            "infer", f"data_dir={seq_query}",
+            f"anno_dir={osp.join(out_dir, 'anno')}",
+            f"features_h5={query_cache}",
+            "matcher=gats",
+            "max_keypoints=48", "shape3d=48", "batch=5",
+        ]
+        rc = cli_main(infer_args + [f"weights.matcher={ckpt}"])
+        assert rc == 0
+        metrics = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert metrics["num_frames"] == 5
+        # The learned matcher must localize every held-out frame.
+        assert metrics["cmd5"] == 1.0, metrics
+        assert metrics["cmd1"] >= 0.8, metrics
+        assert metrics["mean_trans_cm"] < 2.0, metrics
+
+    @pytest.mark.slow
     def test_rendered_sequence_recall(self, tmp_path, capsys):
         rng = np.random.default_rng(0)
         seq, _ = build_textured_sequence(tmp_path, rng)
