@@ -149,6 +149,12 @@ class SuperPoint(nn.Module):
         b, h, w, _ = probs.shape
         scores = probs.reshape(b, h, w, 8, 8)
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
+        # Materialize the depth-to-space result before NMS: fusing the
+        # transposed-layout d2s into the reduce_window chain makes XLA
+        # re-derive the transpose per NMS pass — the barrier cuts the
+        # dense forward 8.88 -> 7.30 ms/batch-8 on v5e (measured,
+        # scripts/bench_sp_variants.py; bit-identical output).
+        scores = jax.lax.optimization_barrier(scores)
         scores = simple_nms(scores, self.nms_radius)
 
         # Descriptor head: 256-d dense map at stride 8, L2-normalized.

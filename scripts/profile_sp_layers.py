@@ -1,10 +1,11 @@
-"""Per-layer timing of the SuperPoint dense forward on the TPU chip.
+"""Per-layer cost of the SuperPoint dense forward on the TPU chip, by
+prefix differencing: time the jitted prefix stack ending after each layer
+(dependent-scan method, one fused program per prefix) and report the
+marginal ms of each layer IN CONTEXT. This avoids the isolated-op
+measurement trap (a big scan carry adds more traffic than a small op).
 
-Times every conv / pool / head / NMS op of the dense forward separately
-(dependent-scan method) and prints implied MFU + BW per layer against v5e
-peaks. Drives the decision on VERDICT r3 item 4: whether the 1.9x-of-bound
-gap of superpoint_dense lives in the C=64 convs (space-to-depth candidate)
-or elsewhere.
+Drives VERDICT r3 item 4: where does superpoint_dense's 1.9x-of-bound
+gap live?
 
 Usage: python scripts/profile_sp_layers.py
 """
@@ -12,152 +13,142 @@ Usage: python scripts/profile_sp_layers.py
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import flax.linen as nn
 
 B, IMG = 8, 512
+
+_NULL = []
+
+
+def _null_fetch():
+    if not _NULL:
+        _NULL.append(jax.jit(lambda x: jnp.sum(x).astype(jnp.float32) * 0.0))
+    return _NULL[0]
+
 ITERS = 50
 PEAK_FLOPS = 197e12
-PEAK_BW = 819e9
 
 
-def timed(fn, *args):
+def timed_prefix(apply_prefix, img):
+    """Steady-state ms of one prefix program: scan ITERS dependent calls,
+    scalar carry folded into the input (negligible traffic). The timing
+    fetch uses float(...) — on the tunneled axon backend
+    block_until_ready does NOT reliably force execution; only a host
+    fetch does (bench.py methodology)."""
+
     @jax.jit
-    def run(c0, *a):
+    def run(x):
         def body(c, _):
-            out = fn(c, *a)
-            return (
-                c + 1e-12 * jnp.sum(out).astype(c.dtype),
-                0.0,
+            out = apply_prefix(x + c)
+            return jnp.mean(out).astype(jnp.float32) * 1e-20, 0.0
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+        return c
+
+    float(run(img))
+    null = _null_fetch()
+    float(null(img))
+    ov = 0.0
+    for _ in range(3):
+        s = time.perf_counter()
+        float(null(img))
+        ov += (time.perf_counter() - s) / 3
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(img))
+        best = min(best, (time.perf_counter() - t0 - ov) / ITERS * 1000.0)
+    return best
+
+
+class Prefix(nn.Module):
+    """First `n_layers` ops of the SuperPoint dense forward."""
+
+    n_layers: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        conv = partial(
+            nn.Conv, kernel_size=(3, 3), padding="SAME", dtype=self.dtype
+        )
+        pool = partial(nn.max_pool, window_shape=(2, 2), strides=(2, 2))
+        steps = []
+        steps.append(("conv1a", lambda x: nn.relu(conv(64, name="c1a")(x))))
+        steps.append(("conv1b", lambda x: nn.relu(conv(64, name="c1b")(x))))
+        steps.append(("pool1", pool))
+        steps.append(("conv2a", lambda x: nn.relu(conv(64, name="c2a")(x))))
+        steps.append(("conv2b", lambda x: nn.relu(conv(64, name="c2b")(x))))
+        steps.append(("pool2", pool))
+        steps.append(("conv3a", lambda x: nn.relu(conv(128, name="c3a")(x))))
+        steps.append(("conv3b", lambda x: nn.relu(conv(128, name="c3b")(x))))
+        steps.append(("pool3", pool))
+        steps.append(("conv4a", lambda x: nn.relu(conv(128, name="c4a")(x))))
+        steps.append(("conv4b", lambda x: nn.relu(conv(128, name="c4b")(x))))
+        steps.append(("convPa", lambda x: nn.relu(conv(256, name="cPa")(x))))
+        steps.append(
+            (
+                "convPb+score",
+                lambda x: _score_path(
+                    nn.Conv(65, (1, 1), dtype=self.dtype, name="cPb")(x)
+                ),
             )
-
-        c, _ = jax.lax.scan(body, c0, jnp.arange(ITERS))
-        return c * 0.0
-
-    c0 = args[0]
-    jax.block_until_ready(run(c0, *args[1:]))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(c0, *args[1:]))
-    return (time.perf_counter() - t0) / ITERS * 1000.0
+        )
+        x = x.astype(self.dtype)
+        for _, f in steps[: self.n_layers]:
+            x = f(x)
+        return x
 
 
-def conv_flops_bytes(h, w, cin, cout, k=3, dtype_bytes=2):
-    flops = 2 * k * k * cin * cout * h * w * B
-    bytes_ = dtype_bytes * B * h * w * (cin + cout)
-    return flops, bytes_
+def _score_path(logits):
+    from onepose_tpu.models.superpoint import simple_nms
+
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :-1]
+    b, h, w, _ = p.shape
+    s = p.reshape(b, h, w, 8, 8).transpose(0, 1, 3, 2, 4)
+    return simple_nms(s.reshape(b, h * 8, w * 8), 4)
+
+
+NAMES = [
+    "conv1a", "conv1b", "pool1", "conv2a", "conv2b", "pool2",
+    "conv3a", "conv3b", "pool3", "conv4a", "conv4b", "convPa",
+    "convPb+score(NMS)",
+]
+
+GFLOPS = [2.4, 154.6, 0, 38.7, 38.7, 0, 19.3, 38.7, 0, 9.7, 9.7, 19.3, 1.1]
 
 
 def main():
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
     rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
-    dt = jnp.bfloat16
-
-    def mkconv(cin, cout, k=3):
-        w = jnp.asarray(
-            rng.normal(scale=0.05, size=(k, k, cin, cout)), dt
-        )
-        b = jnp.zeros((cout,), dt)
-
-        def f(x, w=w, b=b):
-            y = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            return jax.nn.relu(y + b)
-
-        return f
-
-    rows = []
-
-    def bench(name, fn, x, flops, nbytes):
-        ms = timed(lambda c, xx: fn(xx + 0 * c[..., :1, :1, :1]), x, x)
-        mfu = flops / (ms / 1e3) / PEAK_FLOPS * 100
-        bw = nbytes / (ms / 1e3) / PEAK_BW * 100
-        rows.append((name, ms, flops / 1e9, nbytes / 1e6, mfu, bw))
-        return ms
-
-    # Encoder layers at their in-pipeline shapes.
-    specs = [
-        ("conv1a 512^2 1->64", IMG, 1, 64),
-        ("conv1b 512^2 64->64", IMG, 64, 64),
-        ("conv2a 256^2 64->64", IMG // 2, 64, 64),
-        ("conv2b 256^2 64->64", IMG // 2, 64, 64),
-        ("conv3a 128^2 64->128", IMG // 4, 64, 128),
-        ("conv3b 128^2 128->128", IMG // 4, 128, 128),
-        ("conv4a 64^2 128->128", IMG // 8, 128, 128),
-        ("conv4b 64^2 128->128", IMG // 8, 128, 128),
-        ("convPa 64^2 128->256", IMG // 8, 128, 256),
-        ("convDa 64^2 128->256", IMG // 8, 128, 256),
-    ]
-    for name, hw, cin, cout in specs:
-        x = jnp.asarray(rng.normal(size=(B, hw, hw, cin)), dt)
-        f, by = conv_flops_bytes(hw, hw, cin, cout)
-        bench(name, mkconv(cin, cout), x, f, by)
-
-    # Heads (1x1) + pools + NMS.
-    x64 = jnp.asarray(rng.normal(size=(B, 64, 64, 256)), dt)
-    f, by = conv_flops_bytes(64, 64, 256, 65, k=1)
-    bench("convPb 64^2 256->65 (1x1)", mkconv(256, 65, k=1), x64, f, by)
-    f, by = conv_flops_bytes(64, 64, 256, 256, k=1)
-    bench("convDb 64^2 256->256 (1x1)", mkconv(256, 256, k=1), x64, f, by)
-
-    xp = jnp.asarray(rng.normal(size=(B, IMG, IMG, 64)), dt)
-
-    def pool(x):
-        import flax.linen as nn
-
-        return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-
-    bench(
-        "pool1 512^2x64", lambda x: pool(x), xp,
-        0, 2 * B * IMG * IMG * 64 * 1.25,
-    )
-
-    from onepose_tpu.models.superpoint import simple_nms
-
-    smap = jnp.asarray(rng.random((B, IMG, IMG)), jnp.float32)
-    bench(
-        "simple_nms r4 fp32", lambda s: simple_nms(s, 4), smap,
-        0, 4 * B * IMG * IMG * 12,
-    )
-
-    # softmax + depth-to-space score path at head shapes.
-    logits = jnp.asarray(rng.normal(size=(B, 64, 64, 65)), dt)
-
-    def score_path(lg):
-        p = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)[..., :-1]
-        b, h, w, _ = p.shape
-        s = p.reshape(b, h, w, 8, 8)
-        return s.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
-
-    bench(
-        "softmax+d2s fp32", score_path, logits,
-        0, 4 * B * IMG * IMG * 2,
-    )
-
-    # Whole dense forward for cross-check.
-    from onepose_tpu.models.superpoint import SuperPoint
-
-    sp = SuperPoint(dtype=jnp.bfloat16)
     img = jnp.asarray(rng.random((B, IMG, IMG, 1)), jnp.float32)
-    params = sp.init(key, img[:1])
+    key = jax.random.PRNGKey(0)
 
-    def full(x):
-        return sp.apply(params, x)["score_map"]
-
-    ms_full = timed(lambda c, xx: full(xx + 0 * c[..., :1, :1, :1]), img, img)
-
-    print(f"{'layer':28s} {'ms':>7s} {'GFLOP':>8s} {'MB':>8s} "
-          f"{'MFU%':>6s} {'BW%':>6s}")
-    tot = 0.0
-    for name, ms, gf, mb, mfu, bw in rows:
-        tot += ms
-        print(f"{name:28s} {ms:7.3f} {gf:8.1f} {mb:8.0f} "
-              f"{mfu:6.1f} {bw:6.1f}")
-    print(f"{'SUM of layers':28s} {tot:7.3f}")
-    print(f"{'full dense forward':28s} {ms_full:7.3f}")
+    times = []
+    full = Prefix(n_layers=len(NAMES))
+    params_full = full.init(key, img[:1])
+    for n in range(1, len(NAMES) + 1):
+        m = Prefix(n_layers=n)
+        ms = timed_prefix(lambda x: m.apply(params_full, x), img)
+        times.append(ms)
+        prev = times[-2] if n > 1 else 0.0
+        marg = ms - prev
+        gf = GFLOPS[n - 1]
+        mfu = gf / max(marg, 1e-9) * 1e-3 / (PEAK_FLOPS / 1e12) * 100
+        print(
+            f"{NAMES[n-1]:18s} prefix {ms:7.3f} ms   marginal "
+            f"{marg:7.3f} ms   {gf:6.1f} GF  MFU {mfu:5.1f}%",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
