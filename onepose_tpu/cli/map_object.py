@@ -251,16 +251,24 @@ def _run_object(cfg: dict, data_dir: str, out_dir) -> dict:
 
     mesh = resolve_sfm_mesh(cfg["data_parallel"])
 
+    # Per-stage wall times (reference emits per-stage logs across
+    # extract_features/match_features/triangulation; here one timer whose
+    # totals land in stats.json as stage_s).
+    from onepose_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+
     if feats is None:
         sp = SuperPoint()
         sp_params = load_superpoint_params(sp, cfg["weights"]["superpoint"])
-        feats = extract_sequence_features(
-            data_dir, sp_params, sp,
-            max_keypoints=cfg["max_keypoints"],
-            keypoint_threshold=cfg["keypoint_threshold"],
-            det_type=cfg["det_type"],
-            mesh=mesh,
-        )
+        with timer.stage("extract_features"):
+            feats = extract_sequence_features(
+                data_dir, sp_params, sp,
+                max_keypoints=cfg["max_keypoints"],
+                keypoint_threshold=cfg["keypoint_threshold"],
+                det_type=cfg["det_type"],
+                mesh=mesh,
+            )
         # Keypoints changed: cached match indices would desync.
         if osp.exists(matches_cache):
             os.remove(matches_cache)

@@ -73,7 +73,13 @@ class SuperPoint(nn.Module):
 
     descriptor_dim: int = 256
     nms_radius: int = 4
-    use_pallas: Optional[bool] = None  # None = auto (TPU backend)
+    use_pallas: Optional[bool] = None  # fused VGG stages (frozen; opt-in)
+    # VMEM NMS kernel (ops/pallas/score_path): parity-exact and 1.4x in
+    # isolation, but end-to-end NEUTRAL vs the d2s-barrier XLA path
+    # (605 vs 606 fps) — the custom call costs the same scheduling
+    # barrier the XLA path pays explicitly. Opt-in per kernel policy
+    # (docs/PERFORMANCE.md).
+    nms_pallas: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -149,13 +155,23 @@ class SuperPoint(nn.Module):
         b, h, w, _ = probs.shape
         scores = probs.reshape(b, h, w, 8, 8)
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
-        # Materialize the depth-to-space result before NMS: fusing the
-        # transposed-layout d2s into the reduce_window chain makes XLA
-        # re-derive the transpose per NMS pass — the barrier cuts the
-        # dense forward 8.88 -> 7.30 ms/batch-8 on v5e (measured,
-        # scripts/bench_sp_variants.py; bit-identical output).
-        scores = jax.lax.optimization_barrier(scores)
-        scores = simple_nms(scores, self.nms_radius)
+        use_nms_kernel = bool(self.nms_pallas)
+        if use_nms_kernel:
+            # VMEM-resident NMS (ops/pallas/score_path): all five max-pool
+            # passes for an image run on one VMEM-held map; parity-exact.
+            # The custom call also materializes the d2s result, which the
+            # XLA path needs an explicit barrier for (below).
+            from onepose_tpu.ops.pallas.score_path import nms as nms_kernel
+
+            scores = nms_kernel(scores, self.nms_radius)
+        else:
+            # Materialize the depth-to-space result before NMS: fusing the
+            # transposed-layout d2s into the reduce_window chain makes XLA
+            # re-derive the transpose per NMS pass — the barrier cuts the
+            # dense forward 8.88 -> 7.30 ms/batch-8 on v5e (measured,
+            # scripts/bench_sp_variants.py; bit-identical output).
+            scores = jax.lax.optimization_barrier(scores)
+            scores = simple_nms(scores, self.nms_radius)
 
         # Descriptor head: 256-d dense map at stride 8, L2-normalized.
         cda = nn.relu(conv(features=256, name="convDa")(x))

@@ -38,13 +38,17 @@ for n in sizes:
     fwd = jax.jit(
         lambda p, *a: sg.apply(p, *a, HW, HW, m0, m1)["matches0"]
     )
+    # On the tunneled axon backend block_until_ready can return at enqueue
+    # time; a host fetch of the result is the only reliable completion
+    # barrier. Per-device execution is serial and in-order, so fetching
+    # the last rep's output forces all reps.
     out = fwd(params, kpts0, kpts1, d0, d1, s0, s1)
-    jax.block_until_ready(out)
+    _ = np.asarray(out)
     t0 = time.perf_counter()
     reps = 10
     for _ in range(reps):
         out = fwd(params, kpts0, kpts1, d0, d1, s0, s1)
-    jax.block_until_ready(out)
+    _ = np.asarray(out)
     dt = (time.perf_counter() - t0) / reps * 1e3
     sink = "pallas-vmem" if fits_vmem(n + 1, n + 1) else "xla-scan"
     print(

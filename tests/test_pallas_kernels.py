@@ -378,3 +378,45 @@ class TestSinkhornVmemGuard:
         np.testing.assert_allclose(
             np.asarray(z_guarded), np.asarray(z_xla), atol=1e-5
         )
+
+
+class TestNMSKernel:
+    def test_matches_simple_nms(self):
+        """VMEM NMS kernel (ops/pallas/score_path) must be bit-exact vs
+        simple_nms, including plateau/tie cells and image edges."""
+        from onepose_tpu.models.superpoint import simple_nms
+        from onepose_tpu.ops.pallas.score_path import nms
+
+        rng = np.random.default_rng(3)
+        for (b, H, W, r) in [(2, 64, 64, 4), (1, 32, 128, 3)]:
+            s = rng.random((b, H, W)).astype(np.float32)
+            # Inject plateaus (ties) and zeros.
+            s[:, 5:8, 5:8] = 0.7
+            s[:, :, :4] = 0.0
+            a = np.asarray(nms(jnp.asarray(s), r))
+            ref = np.asarray(simple_nms(jnp.asarray(s), r))
+            np.testing.assert_array_equal(a, ref)
+
+    def test_vjp_matches_xla(self):
+        from onepose_tpu.models.superpoint import simple_nms
+        from onepose_tpu.ops.pallas.score_path import nms
+
+        rng = np.random.default_rng(4)
+        s = jnp.asarray(rng.random((1, 32, 32)).astype(np.float32))
+        g1 = jax.grad(lambda x: jnp.sum(nms(x, 4) ** 2))(s)
+        g2 = jax.grad(lambda x: jnp.sum(simple_nms(x, 4) ** 2))(s)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+    def test_superpoint_flag_parity(self):
+        """SuperPoint(nms_pallas=True) == default XLA path."""
+        from onepose_tpu.models import SuperPoint
+
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32))
+        m0 = SuperPoint()
+        params = m0.init(jax.random.PRNGKey(0), img)
+        d0 = m0.apply(params, img)
+        d1 = SuperPoint(nms_pallas=True).apply(params, img)
+        np.testing.assert_array_equal(
+            np.asarray(d0["score_map"]), np.asarray(d1["score_map"])
+        )
