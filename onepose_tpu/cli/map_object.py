@@ -339,6 +339,14 @@ def _run_object(cfg: dict, data_dir: str, out_dir) -> dict:
             fingerprint=_matcher_fingerprint(cfg, feat_fp),
         )
 
+    # Accumulate pair-matching time separately from the rest of the SfM
+    # core (it is called lazily from inside run_mapping).
+    _inner_match = match_pairs
+
+    def match_pairs(pairs):
+        with timer.stage("pair_matching"):
+            return _inner_match(pairs)
+
     # Object-root convention first; parse-scan writes the corners inside
     # the sequence dir itself.
     box = None
@@ -348,22 +356,24 @@ def _run_object(cfg: dict, data_dir: str, out_dir) -> dict:
             box = np.loadtxt(box_path)
             break
 
-    result = run_mapping(
-        feats["keypoints"], feats["descriptors"], feats["scores"],
-        feats["mask"], feats["K"], feats["poses"],
-        match_pairs,
-        box_corners=box,
-        config=MappingConfig(
-            num_covis=cfg["num_covis"],
-            max_points3d=cfg["max_points3d"],
-            num_leaf=cfg["num_leaf"],
-            global_ba=cfg["global_ba"],
-            global_ba_iters=cfg["global_ba_iters"],
-            mesh=mesh,
-        ),
-    )
+    with timer.stage("mapping"):
+        result = run_mapping(
+            feats["keypoints"], feats["descriptors"], feats["scores"],
+            feats["mask"], feats["K"], feats["poses"],
+            match_pairs,
+            box_corners=box,
+            config=MappingConfig(
+                num_covis=cfg["num_covis"],
+                max_points3d=cfg["max_points3d"],
+                num_leaf=cfg["num_leaf"],
+                global_ba=cfg["global_ba"],
+                global_ba_iters=cfg["global_ba_iters"],
+                mesh=mesh,
+            ),
+        )
 
     anno_dir = osp.join(out_dir, "anno")
+    timer.tick("write_anno")
     save_annotation_npz(result, anno_dir)
     export_ply(
         osp.join(out_dir, "points.ply"), result.points_xyz
@@ -400,6 +410,19 @@ def _run_object(cfg: dict, data_dir: str, out_dir) -> dict:
             }
         )
     write_anno_index(osp.join(anno_dir, "anno_index.json"), entries)
+    timer.tock("write_anno")
+
+    # Per-stage wall seconds: mapping minus the lazily-invoked pair
+    # matching gives the SfM core (tracks/triangulation/filter/BA/agg).
+    rep = timer.report()
+    stage_s = {
+        k: round(v["total_ms"] / 1e3, 3) for k, v in rep.items()
+    }
+    if "mapping" in stage_s:
+        stage_s["sfm_core"] = round(
+            stage_s["mapping"] - stage_s.get("pair_matching", 0.0), 3
+        )
+    result.stats["stage_s"] = stage_s
 
     stats_path = osp.join(out_dir, "stats.json")
     os.makedirs(out_dir, exist_ok=True)
