@@ -114,6 +114,7 @@ def main():
         [
             "map", f"data_dir={seq}", f"out_dir={out_dir}",
             "max_keypoints=1024", "num_covis=8", "max_points3d=2000",
+            "anno_format=npz",
         ]
     )
     map_s = time.perf_counter() - t0
@@ -133,6 +134,10 @@ def main():
             "demo", f"data_dir={seq}",
             f"anno_dir={osp.join(out_dir, 'anno')}",
             f"out_dir={demo_out}",
+            # Weight-free oracle matcher: poses solve, so box tracking /
+            # flow tracking / windowed BA actually engage (with random
+            # GATsSPG weights every frame would fall back to re-detect).
+            "matcher=nn",
             "use_tracking=true", "make_video=false",
         ]
     )

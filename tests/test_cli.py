@@ -460,6 +460,52 @@ class TestMapInferCLI:
         assert osp.exists(osp.join(run_dir, "metrics.jsonl"))
 
 
+class TestAnnoNpzFormat:
+    def test_map_npz_anno_trains(self, tmp_path, capsys):
+        """`map anno_format=npz` writes binary per-image annotations that
+        load_anno2d reads transparently and the train CLI consumes."""
+        rng = np.random.default_rng(9)
+        seq = build_sequence(tmp_path, rng, n_frames=6, img=96, n_pts=40)
+        out_dir = osp.join(osp.dirname(seq), "outputs")
+        assert cli_main(
+            [
+                "map", f"data_dir={seq}", f"out_dir={out_dir}",
+                "max_keypoints=128", "num_covis=3", "max_points3d=200",
+                "anno_format=npz",
+            ]
+        ) == 0
+        capsys.readouterr()
+        import glob as _g
+
+        npzs = _g.glob(osp.join(out_dir, "anno", "*.npz"))
+        jsons = [
+            p
+            for p in _g.glob(osp.join(out_dir, "anno", "*.json"))
+            if not p.endswith("anno_index.json")
+        ]
+        assert npzs and not jsons
+
+        from onepose_tpu.data.anno_io import load_anno2d
+
+        a = load_anno2d(npzs[0])
+        assert a["descriptors2d"].shape[1] == 256
+        assert a["assign_matrix"].shape[0] == 2
+
+        run_dir = str(tmp_path / "train_npz")
+        rc = cli_main(
+            [
+                "train",
+                f"anno_index={osp.join(out_dir, 'anno', 'anno_index.json')}",
+                f"run_dir={run_dir}", "shape2d=128", "shape3d=200",
+                "batch_size=2", "max_epochs=1", "num_workers=0",
+                "tensorboard=false", "code_snapshot=false",
+            ]
+        )
+        assert rc == 0
+        record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert np.isfinite(record["train_loss"])
+
+
 class TestMergeAnno:
     def test_merge_and_coco(self, tmp_path, capsys):
         from onepose_tpu.data.anno_io import write_anno_index

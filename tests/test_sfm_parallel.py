@@ -246,4 +246,6 @@ def test_map_data_parallel_matches_serial(tmp_path, capsys):
         )
         assert osp.exists(osp.join(out_dir, "anno", "anno_index.json"))
 
-    assert stats["serial"] == stats["dp"], stats
+    # stage_s is wall-clock timing — everything else must be identical.
+    strip = lambda s: {k: v for k, v in s.items() if k != "stage_s"}
+    assert strip(stats["serial"]) == strip(stats["dp"]), stats
