@@ -297,6 +297,11 @@ def run(cfg: dict) -> dict:
         "stage_ms": {
             k: round(v["mean_ms"], 2) for k, v in stage_report.items()
         },
+        # Medians exclude first-call jit compiles (the per-frame truth;
+        # reference emits per-frame stage ms, tracking_utils.py:5-46).
+        "stage_p50_ms": {
+            k: round(v["p50_ms"], 2) for k, v in stage_report.items()
+        },
         "video": video_path,
     }
     with open(osp.join(cfg["out_dir"], "results.json"), "w") as f:

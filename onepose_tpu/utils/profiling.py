@@ -42,14 +42,17 @@ class StageTimer:
             self.tock(name)
 
     def report(self, reset: bool = False) -> dict:
-        out = {
-            name: {
+        out = {}
+        for name, v in self._acc.items():
+            s = sorted(v)
+            out[name] = {
                 "mean_ms": 1000 * sum(v) / len(v),
+                # Steady state: the mean is polluted by first-call jit
+                # compiles (tens of seconds on a remote backend).
+                "p50_ms": 1000 * s[len(s) // 2],
                 "total_ms": 1000 * sum(v),
                 "count": len(v),
             }
-            for name, v in self._acc.items()
-        }
         if reset:
             self._acc.clear()
         return out

@@ -152,7 +152,11 @@ def main():
         f"({1e3 * demo_s / summary['num_frames']:.0f} ms/frame incl. "
         "host IO)"
     )
-    print("demo stage_ms:", json.dumps(summary["stage_ms"]))
+    print("demo stage_ms (mean):", json.dumps(summary["stage_ms"]))
+    print(
+        "demo stage_ms (p50, excl. compiles):",
+        json.dumps(summary.get("stage_p50_ms", {})),
+    )
     print(
         "counts:",
         {

@@ -101,30 +101,10 @@ def main():
         y = jnp.einsum("bhwk,kc->bhwc", patches, wf)
         return jax.nn.relu(y + b64)
 
-    def conv1a_s2d(x):
-        # space-to-depth(2): [B,256,256,4]; 2x2 kernel with folded taps
-        # produces the packed 512^2 x 64 output exactly = [B,256,256,256].
-        xb = x[..., 0].astype(jnp.bfloat16)
-        h2 = IMG // 2
-        packed = (
-            xb.reshape(B, h2, 2, h2, 2)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(B, h2, h2, 4)
-        )
-        # Build folded kernel [2,2,4,256]: out ch (qy,qx,c).
-        wf = np.zeros((2, 2, 4, 256), np.float32)
-        wn = np.asarray(w, np.float32)
-        for qy in range(2):
-            for qx in range(2):
-                for dy in range(3):
-                    for dx in range(3):
-                        uy, ux = qy + dy - 1, qx + dx - 1
-                        DY, py = uy // 2 + 1, uy % 2
-                        DX, px = ux // 2 + 1, ux % 2
-                        if 0 <= DY - 1 + 1 <= 1 and 0 <= DX - 1 + 1 <= 1:
-                            pass
-                # placeholder; validated variant below does folding right
-        return packed  # timing of the s2d transform alone
+    # Space-to-depth folding was evaluated on paper and REJECTED before
+    # benching: the exactly-folded packed 3x3 kernels are 75% structured
+    # zeros (4x FLOP inflation the MXU cannot skip), so even perfect MFU
+    # loses to the unpacked conv — see docs/PERFORMANCE.md.
 
     v0 = timed(conv1a_v0, img)
     vp = timed(conv1a_pad8, img)
@@ -140,9 +120,6 @@ def main():
 
     # ---------------- score path variants ----------------
     logits = jnp.asarray(rng.normal(size=(B, 64, 64, 65)), jnp.bfloat16)
-
-    def sp_convPb_only(lg):
-        return lg
 
     def score_v0(lg):
         p = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)[..., :-1]
