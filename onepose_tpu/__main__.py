@@ -46,6 +46,9 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
     cfg = load_config(args._defaults, args.config, args.overrides)
+    from onepose_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache(cfg.pop("compilation_cache_dir", None))
     args._run(cfg)
     return 0
 

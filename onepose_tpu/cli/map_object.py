@@ -194,6 +194,9 @@ def _run_object(cfg: dict, data_dir: str, out_dir) -> dict:
     )
     from onepose_tpu.sfm.mapping import MappingConfig, run_mapping
 
+    assert cfg["anno_format"] in ("json", "npz"), (
+        f"anno_format must be 'json' or 'npz', got {cfg['anno_format']!r}"
+    )
     out_dir = out_dir or osp.join(osp.dirname(data_dir), "outputs")
 
     # Resume semantics (reference run.py:154, redo flag): a completed map
@@ -378,46 +381,45 @@ def _run_object(cfg: dict, data_dir: str, out_dir) -> dict:
         )
 
     anno_dir = osp.join(out_dir, "anno")
-    timer.tick("write_anno")
-    save_annotation_npz(result, anno_dir)
-    export_ply(
-        osp.join(out_dir, "points.ply"), result.points_xyz
-    )
+    with timer.stage("write_anno"):
+        save_annotation_npz(result, anno_dir)
+        export_ply(
+            osp.join(out_dir, "points.ply"), result.points_xyz
+        )
 
-    # Per-image 2D annotations + training index.
-    entries = []
-    for f_idx, am in sorted(result.frame_assign.items()):
-        if am.shape[1] == 0:
-            continue
-        img_file = feats["image_paths"][f_idx]
-        ext = ".npz" if cfg["anno_format"] == "npz" else ".json"
-        anno_file = osp.join(
-            anno_dir, osp.basename(img_file).rsplit(".", 1)[0] + ext
-        )
-        valid = feats["mask"][f_idx]
-        _save2d = save_anno2d_npz if ext == ".npz" else save_anno2d
-        _save2d(
-            anno_file,
-            feats["keypoints"][f_idx][valid],
-            feats["descriptors"][f_idx][valid],
-            feats["scores"][f_idx][valid],
-            am,
-        )
-        entries.append(
-            {
-                "anno_id": len(entries) + 1,
-                "anno_file": anno_file,
-                "anno3d_dir": anno_dir,
-                "img_file": img_file,
-                "pose_file": path_utils.gt_pose_path_by_color(
-                    img_file, cfg["det_type"]
-                ),
-                "height": feats["image_hw"][0],
-                "width": feats["image_hw"][1],
-            }
-        )
-    write_anno_index(osp.join(anno_dir, "anno_index.json"), entries)
-    timer.tock("write_anno")
+        # Per-image 2D annotations + training index.
+        entries = []
+        for f_idx, am in sorted(result.frame_assign.items()):
+            if am.shape[1] == 0:
+                continue
+            img_file = feats["image_paths"][f_idx]
+            ext = ".npz" if cfg["anno_format"] == "npz" else ".json"
+            anno_file = osp.join(
+                anno_dir, osp.basename(img_file).rsplit(".", 1)[0] + ext
+            )
+            valid = feats["mask"][f_idx]
+            _save2d = save_anno2d_npz if ext == ".npz" else save_anno2d
+            _save2d(
+                anno_file,
+                feats["keypoints"][f_idx][valid],
+                feats["descriptors"][f_idx][valid],
+                feats["scores"][f_idx][valid],
+                am,
+            )
+            entries.append(
+                {
+                    "anno_id": len(entries) + 1,
+                    "anno_file": anno_file,
+                    "anno3d_dir": anno_dir,
+                    "img_file": img_file,
+                    "pose_file": path_utils.gt_pose_path_by_color(
+                        img_file, cfg["det_type"]
+                    ),
+                    "height": feats["image_hw"][0],
+                    "width": feats["image_hw"][1],
+                }
+            )
+        write_anno_index(osp.join(anno_dir, "anno_index.json"), entries)
 
     # Per-stage wall seconds: mapping minus the lazily-invoked pair
     # matching gives the SfM core (tracks/triangulation/filter/BA/agg).

@@ -98,6 +98,12 @@ def simple_nms_pallas(
     grid step. Exact reference semantics (parity-tested)."""
     b, H, W = scores.shape
     pad_w = (-W) % 128 or 128
+    # The wrap region of the column rolls must land entirely in NEG pad
+    # lanes: with pad_w < nms_radius (W % 128 in {125..127}, or a large
+    # radius) a roll by dx > pad_w would read real columns from the other
+    # edge and corrupt suppression there. Widen by whole lane tiles.
+    while pad_w < nms_radius:
+        pad_w += 128
     kern = partial(_kernel, radius=nms_radius, W=W, pad_w=pad_w)
     return pl.pallas_call(
         kern,
