@@ -25,8 +25,15 @@ def _init_jax(args):
     """Join the process group BEFORE importing anything that touches
     devices. Exercises utils.comm.init_distributed's env-var path."""
     os.environ["JAX_PLATFORMS"] = "cpu"
-    # One local device per process: the cleanest multi-host analogue.
+    # Default: one local device per process — the cleanest multi-host
+    # analogue. The pjit tasks (train/serve) use several local devices per
+    # process so a single SPMD program spans both processes' devices (the
+    # DCN + per-process-addressable-shards execution model of a real pod).
     os.environ.pop("XLA_FLAGS", None)
+    if args.local_devices > 1:
+        os.environ["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={args.local_devices}"
+        )
     os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{args.port}"
     os.environ["JAX_NUM_PROCESSES"] = str(args.nproc)
     os.environ["JAX_PROCESS_ID"] = str(args.pid)
@@ -38,6 +45,7 @@ def _init_jax(args):
     init_distributed()
     assert jax.process_count() == args.nproc, jax.process_count()
     assert jax.process_index() == args.pid
+    assert jax.local_device_count() == args.local_devices
     return jax
 
 
@@ -146,14 +154,30 @@ def task_val(args, jax):
     counts are summed across processes, and (on rank 0) the aggregated
     metrics must EXACTLY match a plain single-process pass over the full
     val set — the reference's DDP val-metric gather semantics
-    (GATsSPG_lightning_model.py:85-115)."""
+    (GATsSPG_lightning_model.py:85-115).
+
+    --data may override the item shapes; the production-shape test passes
+    n2=1000, n3=2000, L=8, C=256 (reference padding,
+    configs/experiment/test_GATsSPG.yaml) so sharding/shape bugs invisible
+    at toy sizes cannot hide."""
     from types import SimpleNamespace
 
     from onepose_tpu.models.gats_spg import GATsSPG
     from onepose_tpu.train.loop import make_pose_val_fn
 
-    items = _val_items()
-    model = GATsSPG(d_model=32, num_blocks=1, fused_match=False)
+    data = json.loads(args.data)
+    items = _val_items(
+        n_items=data.get("n_items", 6),
+        n2=data.get("n2", 24),
+        n3=data.get("n3", 32),
+        L=data.get("L", 2),
+        C=data.get("C", 32),
+    )
+    model = GATsSPG(
+        d_model=data.get("d_model", 32),
+        num_blocks=data.get("num_blocks", 1),
+        fused_match=False,
+    )
     it = items[0]
     params = model.init(
         jax.random.PRNGKey(0),
@@ -212,7 +236,292 @@ def task_map(args, jax):
     )
 
 
-TASKS = {"comm": task_comm, "val": task_val, "map": task_map}
+def _global_mesh(jax, n_points: int):
+    """(data, points) mesh over ALL processes' devices. jax.devices()
+    orders process 0's local devices first, so reshaping to
+    (nproc, local) puts the data axis on the process (DCN) boundary and
+    the points axis within each process (the ICI analogue) — the layout
+    SURVEY §2.3 prescribes (batch over DCN, sequence/points over ICI)."""
+    from onepose_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    n_data = len(devs) // n_points
+    return make_mesh(n_data=n_data, n_points=n_points, devices=devs)
+
+
+def _make_global(jax, mesh, spec, host_value):
+    """Build a process-spanning global array from an identical host value
+    (every process materializes only its addressable shards)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    host_value = np.asarray(host_value)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        host_value.shape, sharding, lambda idx: host_value[idx]
+    )
+
+
+def task_train(args, jax):
+    """ONE SPMD training step spanning both processes: a (data=2,
+    points=4) global mesh over 2 processes x 4 local CPU devices, the
+    production-padding GATsSPG train step jitted with NamedShardings over
+    it (exactly __graft_entry__._dryrun_train's shardings), and the loss
+    checked against a process-local dense single-device run.
+
+    This is the execution model of the reference's multi-GPU DDP training
+    (one program across ranks, /root/reference/train.py:73 +
+    src/utils/comm.py:84-98) — upgraded to a single pjit program whose
+    batch axis crosses the process (DCN) boundary and whose 3D-point axis
+    is sharded within each process."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from onepose_tpu.models.gats_spg import GATsSPG
+    from onepose_tpu.parallel.mesh import DATA_AXIS, POINTS_AXIS
+    from onepose_tpu.train.train_step import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    data = json.loads(args.data)
+    n2 = data.get("n2", 1000)
+    n3 = data.get("n3", 2000)
+    L = data.get("L", 8)
+    C = data.get("C", 256)
+    blocks = data.get("blocks", 4)
+    n_points = data.get("n_points", args.local_devices)
+
+    mesh = _global_mesh(jax, n_points)
+    b = mesh.shape[DATA_AXIS]
+    assert len(mesh.devices.flat) == args.nproc * args.local_devices
+
+    # Identical deterministic batch on every process, with PLANTED
+    # 2D<->3D correlation (first n2 3D points share descriptors with the
+    # 2D keypoints): a fully random batch at production scale saturates
+    # the dual-softmax and gradients underflow to ~1e-13, which would
+    # make the second-step assertion vacuous.
+    rng = np.random.default_rng(0)
+    d3 = rng.normal(size=(b, n3, C)).astype(np.float32)
+    d3 /= np.linalg.norm(d3, axis=-1, keepdims=True)
+    d2 = d3[:, :n2] + 0.1 * rng.normal(size=(b, n2, C)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    leaf = d3[:, :, None, :] + 0.1 * rng.normal(
+        size=(b, n3, L, C)
+    ).astype(np.float32)
+    leaf /= np.linalg.norm(leaf, axis=-1, keepdims=True)
+    conf_gt = np.zeros((b, n2, n3), np.float32)
+    conf_gt[:, np.arange(n2), np.arange(n2)] = 1.0
+    batch_host = {
+        "desc2d": d2,
+        "desc3d": d3,
+        "leaf_desc": leaf,
+        "mask2d": np.ones((b, n2), bool),
+        "mask3d": np.ones((b, n3), bool),
+        "leaf_mask": np.ones((b, n3, L), bool),
+        "conf_gt": conf_gt,
+    }
+
+    def spec_for(name):
+        if name in ("desc3d", "mask3d", "leaf_desc", "leaf_mask"):
+            return P(DATA_AXIS, POINTS_AXIS)
+        if name == "conf_gt":
+            return P(DATA_AXIS, None, POINTS_AXIS)
+        return P(DATA_AXIS)
+
+    cfg = TrainConfig(steps_per_epoch=10)
+    # Params are mesh-independent (the mesh only drives apply-time
+    # shard_map); init once on the local default device with the dense
+    # model, then replicate over the global mesh. The train step runs
+    # state.apply_fn, so the global state carries the MESH model's apply
+    # while the dense reference state keeps the dense apply.
+    dense = GATsSPG(num_blocks=blocks, fused_match=False)
+    state_local = create_train_state(
+        jax.random.PRNGKey(0), dense, cfg, batch_host
+    )
+
+    model = GATsSPG(num_blocks=blocks, fused_match=False, mesh=mesh)
+    repl = P()
+    state = jax.tree.map(
+        lambda x: _make_global(jax, mesh, repl, x),
+        state_local.replace(apply_fn=model.apply),
+    )
+    batch = {
+        k: _make_global(jax, mesh, spec_for(k), v)
+        for k, v in batch_host.items()
+    }
+
+    state_shardings = jax.tree.map(
+        lambda _: NamedSharding(mesh, repl), state
+    )
+    batch_shardings = {
+        k: NamedSharding(mesh, spec_for(k)) for k in batch
+    }
+    step = jax.jit(
+        make_train_step(model, cfg),
+        in_shardings=(state_shardings, batch_shardings),
+        out_shardings=(state_shardings, NamedSharding(mesh, repl)),
+    )
+    state2, metrics = step(state, batch)
+    loss1 = float(metrics["loss"])  # replicated -> locally addressable
+    # Second step proves the updated (global) state reshards cleanly and
+    # the optimizer actually moved the parameters.
+    _, metrics2 = step(state2, batch)
+    loss2 = float(metrics2["loss"])
+
+    # Process-local dense reference (single device, no mesh).
+    _, metrics_d = jax.jit(make_train_step(dense, cfg))(
+        state_local, batch_host
+    )
+    loss_dense = float(metrics_d["loss"])
+
+    assert np.isfinite(loss1) and np.isfinite(loss2), (loss1, loss2)
+    assert abs(loss1 - loss_dense) < 1e-4 * max(1.0, abs(loss_dense)), (
+        loss1, loss_dense,
+    )
+    assert loss2 < loss1, (loss1, loss2)
+    _write(
+        args,
+        "train",
+        {
+            "mesh": {k: int(v) for k, v in mesh.shape.items()},
+            "n_global_devices": int(len(mesh.devices.flat)),
+            "n2": n2, "n3": n3, "L": L, "blocks": blocks,
+            "loss_step1": loss1,
+            "loss_step2": loss2,
+            "loss_dense": loss_dense,
+            "grad_norm": float(metrics["grad_norm"]),
+        },
+    )
+
+
+def task_serve(args, jax):
+    """Process-spanning SPMD serving: PosePipeline.sharded over a global
+    (data, points) mesh whose data axis crosses the process boundary —
+    frames sharded across processes, the matcher's 3D-point axis sharded
+    within each process. Each process checks its addressable pose shards
+    against a process-local dense single-device run."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from onepose_tpu.models import SuperPoint
+    from onepose_tpu.models.gats_spg import GATsSPG
+    from onepose_tpu.parallel.mesh import DATA_AXIS
+    from onepose_tpu.runtime.pipeline import ObjectAnnotation, PosePipeline
+
+    data = json.loads(args.data)
+    hw = data.get("hw", 160)
+    n2 = data.get("n2", 1000)
+    n3 = data.get("n3", 2000)
+    L = data.get("L", 8)
+    C = data.get("C", 256)
+    n_points = data.get("n_points", args.local_devices)
+
+    mesh = _global_mesh(jax, n_points)
+    b = mesh.shape[DATA_AXIS]
+
+    rng = np.random.default_rng(1)
+    imgs = rng.random((b, hw, hw, 1)).astype(np.float32)
+    K = np.tile(
+        np.array(
+            [[200.0, 0, hw / 2], [0, 200.0, hw / 2], [0, 0, 1]],
+            np.float32,
+        ),
+        (b, 1, 1),
+    )
+    anno_host = dict(
+        points3d=rng.uniform(-0.1, 0.1, size=(n3, 3)).astype(np.float32),
+        desc3d=rng.normal(size=(n3, C)).astype(np.float32),
+        leaf_desc=rng.normal(size=(n3, L, C)).astype(np.float32),
+        mask3d=np.ones((n3,), bool),
+        leaf_mask=np.ones((n3, L), bool),
+    )
+
+    sp = SuperPoint()
+    sp_params = sp.init(
+        jax.random.PRNGKey(0), np.zeros((1, hw, hw, 1), np.float32)
+    )
+    matcher_dense = GATsSPG()
+    m_params = matcher_dense.init(
+        jax.random.PRNGKey(1),
+        np.zeros((1, n2, C), np.float32),
+        np.zeros((1, n3, C), np.float32),
+        np.zeros((1, n3, L, C), np.float32),
+        np.ones((1, n2), bool),
+        np.ones((1, n3), bool),
+        np.ones((1, n3, L), bool),
+    )
+
+    # Dense single-device reference on the full batch (params still
+    # process-local here).
+    dense_pipe = PosePipeline(sp, matcher_dense, max_keypoints=n2)
+    key = jax.random.PRNGKey(7)
+    out_d = dense_pipe(
+        sp_params, m_params, imgs, K,
+        ObjectAnnotation(**{k: jax.numpy.asarray(v)
+                            for k, v in anno_host.items()}),
+        key,
+    )
+    pose_d = np.asarray(out_d["pose"])
+    matches_d = np.asarray(out_d["matches0"])
+
+    # Global-mesh serving program.
+    repl = P()
+    sp_params_g = jax.tree.map(
+        lambda x: _make_global(jax, mesh, repl, x), sp_params
+    )
+    m_params_g = jax.tree.map(
+        lambda x: _make_global(jax, mesh, repl, x), m_params
+    )
+    anno_g = ObjectAnnotation(
+        **{k: _make_global(jax, mesh, repl, v)
+           for k, v in anno_host.items()}
+    )
+    imgs_g = _make_global(jax, mesh, P(DATA_AXIS), imgs)
+    K_g = _make_global(jax, mesh, P(DATA_AXIS), K)
+    key_g = _make_global(jax, mesh, repl, np.asarray(key))
+
+    pipe = PosePipeline(sp, GATsSPG(mesh=mesh), max_keypoints=n2)
+    out = pipe.sharded(mesh)(
+        sp_params_g, m_params_g, imgs_g, K_g, anno_g, key_g
+    )
+
+    # Every process validates its own addressable shards of the output.
+    n_checked = 0
+    for shard in out["pose"].addressable_shards:
+        sel = shard.index[0]
+        np.testing.assert_allclose(
+            np.asarray(shard.data), pose_d[sel], atol=1e-3
+        )
+        n_checked += np.asarray(shard.data).shape[0]
+    match_agree = []
+    for shard in out["matches0"].addressable_shards:
+        sel = shard.index[0]
+        match_agree.append(
+            (np.asarray(shard.data) == matches_d[sel]).mean()
+        )
+    assert min(match_agree) > 0.999, match_agree
+    assert n_checked >= b // args.nproc
+    _write(
+        args,
+        "serve",
+        {
+            "mesh": {k: int(v) for k, v in mesh.shape.items()},
+            "batch": int(b),
+            "frames_checked_locally": int(n_checked),
+            "match_agreement": float(min(match_agree)),
+        },
+    )
+
+
+TASKS = {
+    "comm": task_comm,
+    "val": task_val,
+    "map": task_map,
+    "train": task_train,
+    "serve": task_serve,
+}
 
 
 def main():
@@ -223,6 +532,7 @@ def main():
     p.add_argument("--port", type=int, required=True)
     p.add_argument("--workdir", required=True)
     p.add_argument("--data", default="{}")
+    p.add_argument("--local-devices", type=int, default=1)
     args = p.parse_args()
     jax = _init_jax(args)
     TASKS[args.task](args, jax)

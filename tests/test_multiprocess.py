@@ -35,11 +35,11 @@ def _free_port() -> int:
 
 
 def _launch(task: str, workdir: str, nproc: int = 2, data: dict = None,
-            timeout: int = 900):
+            timeout: int = 900, local_devices: int = 1):
     """Spawn nproc workers, wait for all, fail loudly with their output."""
     port = _free_port()
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # workers get 1 local device each
+    env.pop("XLA_FLAGS", None)  # workers pick their own device count
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = []
@@ -48,6 +48,7 @@ def _launch(task: str, workdir: str, nproc: int = 2, data: dict = None,
             sys.executable, WORKER, task,
             "--pid", str(pid), "--nproc", str(nproc),
             "--port", str(port), "--workdir", workdir,
+            "--local-devices", str(local_devices),
         ]
         if data is not None:
             cmd += ["--data", json.dumps(data)]
@@ -106,6 +107,66 @@ def test_val_metric_aggregation_matches_single_process(tmp_path):
     for k, v in r0["dense"].items():
         assert r0["dist"][k] == pytest.approx(v, abs=1e-9), k
     assert r0["dist"]["val_num_frames"] == 6
+
+
+@pytest.mark.slow
+def test_val_metric_aggregation_production_shapes(tmp_path):
+    """Cross-process val aggregation at the PRODUCTION padding (n2=1000,
+    n3=2000, L=8, C=256 — reference configs/experiment/test_GATsSPG.yaml)
+    so shape/sharding bugs invisible at toy sizes cannot hide (VERDICT r4
+    item 7). Single block, 4 items — CPU cost is bounded."""
+    results = _launch(
+        "val", str(tmp_path),
+        data={"n_items": 4, "n2": 1000, "n3": 2000, "L": 8, "C": 256,
+              "d_model": 256, "num_blocks": 1},
+        timeout=1800,
+    )
+    r0, r1 = results
+    for k in r0["dist"]:
+        assert r0["dist"][k] == pytest.approx(r1["dist"][k], abs=1e-9), k
+    for k, v in r0["dense"].items():
+        assert r0["dist"][k] == pytest.approx(v, abs=1e-9), k
+    assert r0["dist"]["val_num_frames"] == 4
+
+
+@pytest.mark.slow
+def test_train_step_spans_processes(tmp_path):
+    """THE process-spanning pjit gate (VERDICT r4 item 1): one jitted
+    production-padding train step over a global (data=2, points=4) mesh
+    whose 8 devices live in 2 separate OS processes (4 local CPU devices
+    each). The data/batch axis crosses the process (DCN) boundary; the
+    3D-point axis is sharded within each process. Loss must match a
+    process-local dense single-device run; a second step must execute on
+    the updated global state. Reference: one DDP program across ranks
+    (train.py:73, src/utils/comm.py:84-98)."""
+    results = _launch(
+        "train", str(tmp_path), local_devices=4, timeout=1800,
+    )
+    r0, r1 = results
+    for r in results:
+        assert r["mesh"] == {"data": 2, "points": 4}
+        assert r["n_global_devices"] == 8
+        assert (r["n2"], r["n3"], r["L"], r["blocks"]) == (1000, 2000, 8, 4)
+    # Replicated loss identical across processes, equal to dense.
+    assert r0["loss_step1"] == pytest.approx(r1["loss_step1"], rel=1e-12)
+    assert r0["loss_step1"] == pytest.approx(r0["loss_dense"], rel=1e-4)
+    assert r0["loss_step2"] < r0["loss_step1"]
+
+
+@pytest.mark.slow
+def test_serving_spans_processes(tmp_path):
+    """Process-spanning SPMD serving: PosePipeline.sharded jitted over the
+    2-process global mesh — frames sharded across processes, matcher
+    3D-point axis sharded within each; every process's addressable pose
+    shards must match the dense single-device pipeline."""
+    results = _launch(
+        "serve", str(tmp_path), local_devices=4, timeout=1800,
+    )
+    for r in results:
+        assert r["mesh"] == {"data": 2, "points": 4}
+        assert r["frames_checked_locally"] >= 1
+        assert r["match_agreement"] > 0.999
+    assert sum(r["frames_checked_locally"] for r in results) >= 2
 
 
 @pytest.mark.slow
