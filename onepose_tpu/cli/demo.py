@@ -149,8 +149,12 @@ def run(cfg: dict) -> dict:
     results = []
     from onepose_tpu.native.frame_loader import FrameLoader
 
+    # One fused program for crop extraction on tracked frames (dense
+    # forward + NMS/top-k/descriptor sampling): a single dispatch instead
+    # of the eager per-op chain extract_keypoints would otherwise issue.
+    @jax.jit
     def _extract_crop_feats(crop):
-        dense = sp_fwd(sp_params, crop[None, ..., None])
+        dense = sp.apply(sp_params, crop[None, ..., None])
         return extract_keypoints(
             dense["score_map"], dense["descriptor_map"],
             max_keypoints=cfg["max_keypoints"],

@@ -253,97 +253,60 @@ class BATracker:
         key: jax.Array | None = None,
     ) -> dict:
         """Track one frame; returns dict(pose, pose_init, n_tracked,
-        n_new_points, used_motion)."""
+        n_new_points, used_motion).
+
+        ONE device dispatch + ONE host fetch per frame: the whole
+        flow -> PnP-init -> NN-match -> triangulate -> window-BA chain is
+        a single jitted program (_megastep) whose scalar diagnostics come
+        back packed in one array. The reference makes several dependent
+        GPU calls + host syncs per frame (src/tracker/ba_tracker.py:
+        727-802, per-stage Timer table); the only host-side logic left
+        here is the keyframe-cadence counter — SURVEY §7.1's "no
+        per-frame host sync" principle."""
         assert self.state is not None, "call initialize() first"
         cfg = self.cfg
         if key is None:
             key = jax.random.PRNGKey(self._frame_count)
 
-        st = self.state
-        flow = _flow_pose(
-            st, jnp.asarray(image, jnp.float32),
-            jnp.asarray(K, jnp.float32), key, cfg,
-        )
-        pose_ftk = flow["pose"]
-        last_pose = st.pose_hist[2]
-        t_d, r_d = pose_distance(last_pose, pose_ftk)
-        pose_mo = (
-            motion_prediction(st.pose_hist)
-            if self._frame_count >= 3
-            else last_pose
-        )
-
-        flow_ok = bool(
-            flow["ok"]
-            and (t_d < cfg.flow_accept_cm)
-            and (r_d < cfg.flow_accept_deg)
-        )
-        if flow_ok:
-            pose_init = pose_ftk
-            self._use_motion_cnt = 0
-        else:
-            pose_init = pose_mo
-            self._use_motion_cnt += 1
-
         is_kf = (self._frame_count % cfg.kf_interval) == 0
-
-        new_state, out = _track_ba_step(
-            st,
+        have_hist = self._frame_count >= 3
+        self.state, packed = _megastep(
+            self.state,
+            jnp.asarray(image, jnp.float32),
             jnp.asarray(kpts, jnp.float32),
             jnp.asarray(descs, jnp.float32),
             jnp.asarray(mask),
             jnp.asarray(K, jnp.float32),
-            pose_init,
+            jnp.asarray(is_kf),
+            jnp.asarray(have_hist),
             key,
             cfg,
         )
-        pose_opt = out["pose_opt"]
-
-        # Keyframe policy (host-side scalar decisions only).
-        t_j, r_j = pose_distance(last_pose, pose_opt)
-        accept = bool(
-            jnp.isfinite(pose_opt).all()
-            and (t_j < cfg.kf_reject_cm * 2)
-            and (r_j < cfg.kf_reject_deg * 2)
-        )
-        if accept:
-            pose_final = pose_opt
-        else:
-            pose_final = pose_init
-
-        # Only keyframes persist into the window/point database (reference
-        # cadence: every kf_interval frames, ba_tracker.py:684); rejected
-        # keyframes leave the state untouched. Non-keyframe frames get the
-        # BA'd pose but the window is restored.
-        if is_kf and accept:
-            self.state = dataclasses.replace(
-                new_state,
-                kf_image=jnp.asarray(image, jnp.float32),
-                kf_pose=pose_final,
-            )
-
-        self.state = dataclasses.replace(
-            self.state,
-            pose_hist=jnp.concatenate(
-                [self.state.pose_hist[1:], pose_final[None]], axis=0
-            ),
-        )
         self._frame_count += 1
+        return self._unpack(packed)
+
+    def _unpack(self, packed) -> dict:
+        """Single host fetch of the megastep's packed diagnostics."""
+        v = np.asarray(packed)  # [54]
+        flow_ok = bool(v[48] > 0.5)
+        if flow_ok:
+            self._use_motion_cnt = 0
+        else:
+            self._use_motion_cnt += 1
         return {
-            "pose": pose_final,
-            "pose_init": pose_init,
-            "pose_flow": pose_ftk,
+            "pose": v[0:16].reshape(4, 4),
+            "pose_init": v[16:32].reshape(4, 4),
+            "pose_flow": v[32:48].reshape(4, 4),
             "flow_ok": flow_ok,
             "used_motion": not flow_ok,
-            "n_tracked": int(out["n_tracked"]),
-            "n_new_points": int(out["n_new"]),
-            "ba_cost_initial": float(out["cost_initial"]),
-            "ba_cost_final": float(out["cost_final"]),
+            "n_tracked": int(v[50]),
+            "n_new_points": int(v[51]),
+            "ba_cost_initial": float(v[52]),
+            "ba_cost_final": float(v[53]),
         }
 
 
 # ----------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("cfg",))
 def _flow_pose(st: TrackerState, image, K, key, cfg: TrackerConfig):
     """LK-track keyframe keypoints with 3D ids into the query; PnP."""
     kf = st.kf_slot
@@ -365,7 +328,6 @@ def _flow_pose(st: TrackerState, image, K, key, cfg: TrackerConfig):
     }
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def _track_ba_step(
     st: TrackerState, kpts, descs, mask, K, pose_init, key, cfg: TrackerConfig
 ):
@@ -518,3 +480,91 @@ def _track_ba_step(
         "cost_initial": ba["cost_initial"],
         "cost_final": ba["cost_final"],
     }
+
+
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cfg",))
+def _megastep(
+    st: TrackerState,
+    image,
+    kpts,
+    descs,
+    mask,
+    K,
+    is_kf,
+    have_hist,
+    key,
+    cfg: TrackerConfig,
+):
+    """The whole tracked frame as ONE XLA program: LK flow -> PnP init
+    (with on-device motion-prediction fallback) -> NN match -> 3D
+    inherit/triangulate -> window BA -> pose-accept policy -> conditional
+    state commit. Returns (new_state, packed) where packed is a single
+    [54] f32 array of diagnostics — the caller's only host fetch.
+
+    `is_kf`/`have_hist` are traced booleans (host keyframe-cadence
+    counters), so every frame reuses one compiled program."""
+    flow = _flow_pose(st, image, K, key, cfg)
+    pose_ftk = flow["pose"]
+    last_pose = st.pose_hist[2]
+    t_d, r_d = pose_distance(last_pose, pose_ftk)
+    pose_mo = jnp.where(
+        have_hist, motion_prediction(st.pose_hist), last_pose
+    )
+    flow_ok = (
+        flow["ok"]
+        & (t_d < cfg.flow_accept_cm)
+        & (r_d < cfg.flow_accept_deg)
+    )
+    pose_init = jnp.where(flow_ok, pose_ftk, pose_mo)
+
+    new_state, out = _track_ba_step(
+        st, kpts, descs, mask, K, pose_init, key, cfg
+    )
+    pose_opt = out["pose_opt"]
+
+    # Pose-accept policy (reference KF rejection, ba_tracker.py:128-145,
+    # at 2x the keyframe gate for in-window frames).
+    t_j, r_j = pose_distance(last_pose, pose_opt)
+    accept = (
+        jnp.isfinite(pose_opt).all()
+        & (t_j < cfg.kf_reject_cm * 2)
+        & (r_j < cfg.kf_reject_deg * 2)
+    )
+    pose_final = jnp.where(accept, pose_opt, pose_init)
+
+    # Only accepted keyframes persist into the window/point database
+    # (reference cadence every kf_interval frames, ba_tracker.py:684);
+    # otherwise the window is restored — selected on device.
+    commit = is_kf & accept
+    committed = dataclasses.replace(
+        new_state, kf_image=image, kf_pose=pose_final
+    )
+    sel = jax.tree.map(
+        lambda a, b: jnp.where(commit, a, b), committed, st
+    )
+    sel = dataclasses.replace(
+        sel,
+        pose_hist=jnp.concatenate(
+            [sel.pose_hist[1:], pose_final[None]], axis=0
+        ),
+    )
+
+    packed = jnp.concatenate(
+        [
+            pose_final.reshape(-1),
+            pose_init.reshape(-1),
+            pose_ftk.reshape(-1),
+            jnp.stack(
+                [
+                    flow_ok.astype(jnp.float32),
+                    accept.astype(jnp.float32),
+                    out["n_tracked"].astype(jnp.float32),
+                    out["n_new"].astype(jnp.float32),
+                    out["cost_initial"].astype(jnp.float32),
+                    out["cost_final"].astype(jnp.float32),
+                ]
+            ),
+        ]
+    )
+    return sel, packed

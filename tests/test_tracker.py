@@ -165,3 +165,67 @@ class TestTracker:
             out["pose"], jnp.asarray(pose0)
         )
         assert float(t_err) < 5.0
+
+    def test_track_is_one_dispatch_one_fetch(self):
+        """The tracked-frame contract (SURVEY §7.1 'no per-frame host
+        sync'): track() issues EXACTLY one device dispatch (the fused
+        _megastep program) and one host fetch (the packed diagnostics),
+        and reuses one compiled program across frames (keyframe cadence
+        flags are traced, not static)."""
+        import onepose_tpu.tracker.ba_tracker as bt
+
+        rng = np.random.default_rng(2)
+        img = 96
+        pts3d = ((rng.random((40, 3)) - 0.5) * 0.2).astype(np.float32)
+        tex_phase = rng.random(40) * 6.28
+        K = np.array(
+            [[200.0, 0, img / 2], [0, 200.0, img / 2], [0, 0, 1]],
+            np.float32,
+        )
+        desc = rng.normal(size=(40, 16)).astype(np.float32)
+        pose0 = look_at(np.array([0.6, 0.0, 0.35]))
+        image0, uv0, vis0 = render_scene(
+            rng, pose0, K, pts3d, tex_phase, img
+        )
+        cfg = TrackerConfig(
+            window_size=3, n_kpts=32, point_capacity=128,
+            kf_interval=2, ransac_hyp=32, ba_iters=2,
+        )
+        tracker = BATracker(cfg)
+        ids0 = np.nonzero(vis0)[0][:32]
+        n0 = len(ids0)
+        kpts = np.zeros((32, 2), np.float32)
+        kpts[:n0] = uv0[ids0]
+        descs = np.zeros((32, 16), np.float32)
+        descs[:n0] = desc[ids0]
+        mask = np.zeros(32, bool)
+        mask[:n0] = True
+        p3d = np.full(32, -1, np.int32)
+        p3d[:n0] = np.arange(n0)
+        tracker.initialize(
+            jnp.asarray(image0), kpts, descs, mask, p3d,
+            pts3d[ids0], pose0, K,
+        )
+
+        calls = []
+        orig_mega = bt._megastep
+        orig_unpack = BATracker._unpack
+
+        def spy_mega(*a, **k):
+            calls.append("dispatch")
+            return orig_mega(*a, **k)
+
+        def spy_unpack(self, packed):
+            calls.append("fetch")
+            return orig_unpack(self, packed)
+
+        from unittest import mock
+
+        with mock.patch.object(bt, "_megastep", spy_mega), \
+                mock.patch.object(BATracker, "_unpack", spy_unpack):
+            for i in range(3):
+                calls.clear()
+                tracker.track(jnp.asarray(image0), kpts, descs, mask, K)
+                assert calls == ["dispatch", "fetch"], calls
+        # One compiled program serves keyframe and non-keyframe cadences.
+        assert orig_mega._cache_size() == 1
