@@ -116,12 +116,70 @@ def masked_instance_norm(
     return ((x - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
 
 
+def _flash_softmax_attention(q, k, v, kv_mask, sm_scale):
+    """O(N)-memory attention via the TPU Pallas flash kernel: the
+    [N, M] logits/probs never touch HBM. q/k/v: [B, N|M, H, D].
+
+    OPT-IN (kernel policy, docs/PERFORMANCE.md): at the largest shape
+    this repo runs (SuperGlue at the 4096-keypoint SfM budget) the XLA
+    attention already measures 0.77 ms/call on v5e (scan method) — XLA
+    fuses the logits->softmax->AV chain well enough that the flash
+    kernel (0.91 ms) does not win; parity max|diff| 4.8e-4. Kept for
+    larger future shapes where O(N^2) materialization must actually be
+    avoided (e.g. >8k keypoints)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, n, h, dh = q.shape
+    m = k.shape[1]
+    np_ = -(-n // 512) * 512
+    mp = -(-m // 512) * 512
+    qt = jnp.pad(
+        q.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 0), (0, 0))
+    ).transpose(0, 2, 1, 3)
+    kt = jnp.pad(
+        k.astype(jnp.float32), ((0, 0), (0, mp - m), (0, 0), (0, 0))
+    ).transpose(0, 2, 1, 3)
+    vt = jnp.pad(
+        v.astype(jnp.float32), ((0, 0), (0, mp - m), (0, 0), (0, 0))
+    ).transpose(0, 2, 1, 3)
+    # Key-side masking (incl. the pad tail) via segment ids: queries live
+    # in segment 1, valid keys in 1, masked/pad keys in 0.
+    valid = (
+        kv_mask
+        if kv_mask is not None
+        else jnp.ones((b, m), bool)
+    )
+    kv_seg = jnp.pad(
+        valid.astype(jnp.int32), ((0, 0), (0, mp - m))
+    )
+    q_seg = jnp.ones((b, np_), jnp.int32)
+    out = flash_attention(
+        qt, kt, vt,
+        segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
+        sm_scale=sm_scale,
+    )
+    out = out.transpose(0, 2, 1, 3)[:, :n]
+    if kv_mask is not None:
+        # Fully-masked key sets: the XLA path yields the uniform-average
+        # of v (softmax of all-NEG_INF); the flash kernel's normalizer is
+        # ~0 there. Zero those rows explicitly so downstream stays finite
+        # (they belong to examples with no valid keypoints and are masked
+        # out of matching anyway).
+        has_valid = jnp.any(kv_mask, axis=1)
+        out = jnp.where(has_valid[:, None, None, None], out, 0.0)
+    return out
+
+
 def masked_softmax_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Multi-head scaled dot-product attention with key-side masking.
 
@@ -132,8 +190,17 @@ def masked_softmax_attention(
     low-precision OPERANDS with fp32 MXU accumulation
     (preferred_element_type); the softmax itself stays fp32. None keeps
     the all-fp32 path.
+
+    use_flash: route through the TPU flash-attention kernel — exact
+    softmax (online normalizer), no [N, M] materialization, fp32.
+    OPT-IN: measured neutral-to-negative vs XLA's fused attention at
+    this repo's shapes (see _flash_softmax_attention); default False.
     """
     d = q.shape[-1]
+    if use_flash:
+        return _flash_softmax_attention(
+            q, k, v, kv_mask, sm_scale=1.0 / float(d) ** 0.5
+        )
     if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
         # Round operands through compute_dtype always (deterministic
         # numerics across backends); feed the dots fp32 operands where the

@@ -56,6 +56,7 @@ def log_sinkhorn(
     mask1: Optional[jnp.ndarray],
     iters: int,
     use_pallas: Optional[bool] = None,
+    stream_bf16: bool = False,
 ) -> jnp.ndarray:
     """Masked log-space Sinkhorn with dustbin row/column.
 
@@ -64,11 +65,21 @@ def log_sinkhorn(
     -inf marginal mass: they cannot carry transport; real points each carry
     one unit; each dustbin absorbs the opposite side's count.
 
-    use_pallas: run the iteration loop as a VMEM-resident Pallas kernel
-    (default: on TPU backends). Guarded by the kernel's VMEM budget either
-    way: problems too large to pin on-chip (e.g. 4096-keypoint SfM pairs)
-    stream via the XLA scan. The scan path is also kept for parity tests
-    and as the differentiable reference.
+    use_pallas: run the iteration loop as a Pallas kernel (default: on TPU
+    backends). Problems that fit the VMEM budget pin the whole coupling
+    on-chip (ops/pallas/sinkhorn.py — measured end-to-end win). Larger
+    problems (e.g. the reference's 4096-keypoint SfM budget,
+    src/sfm/extract_features.py:8-26) default to the XLA scan: measured
+    on chip (docs/PERFORMANCE.md, scan method), XLA already fuses both
+    logsumexp updates into ONE coupling sweep per iteration (7.05 ms at
+    4097^2 x 100 iters ~= the single-sweep bandwidth bound), so the
+    row-blocked streaming kernel (ops/pallas/sinkhorn_stream.py) is
+    neutral in context — it stays opt-in per the repo kernel policy:
+    explicit use_pallas=True streams above the VMEM budget, and
+    stream_bf16=True additionally stores the streamed coupling in
+    bfloat16 (half the HBM bytes, fp32 arithmetic; bare-kernel 6.60 vs
+    7.05 ms). The scan path also serves non-TPU backends, parity tests,
+    and gradients.
     """
     b, m, n = scores.shape
     dtype = scores.dtype
@@ -93,7 +104,11 @@ def log_sinkhorn(
         axis=1,
     )  # [B, M+1, N+1]
 
-    norm = -jnp.log(ms + ns)  # [B]
+    # Clamp for the fully-degenerate case (no valid keypoints on EITHER
+    # side): ms + ns = 0 would give norm = inf and poison every slot with
+    # NaN. With the clamp the transport problem reduces to the
+    # dustbin-dustbin cell and all outputs stay finite (matches all -1).
+    norm = -jnp.log(jnp.maximum(ms + ns, 1.0))  # [B]
     log_mu = jnp.concatenate(
         [
             jnp.where(mask0, norm[:, None], NEG_INF),
@@ -109,20 +124,31 @@ def log_sinkhorn(
         axis=1,
     )  # [B, N+1]
 
-    if use_pallas is None:
+    auto = use_pallas is None
+    if auto:
         use_pallas = jax.default_backend() == "tpu"
+    use_stream = False
     if use_pallas:
-        from onepose_tpu.ops.pallas.sinkhorn import (
-            fits_vmem,
-            sinkhorn_potentials,
+        from onepose_tpu.ops.pallas.sinkhorn import fits_vmem
+
+        # VMEM guard: the resident kernel pins the whole [M+1, N+1]
+        # coupling in VMEM. Above the budget the default (auto) path is
+        # the XLA scan — measured at the single-sweep bound already; the
+        # streaming kernel runs only on explicit request (use_pallas=True
+        # or stream_bf16=True). See the docstring + docs/PERFORMANCE.md.
+        if not fits_vmem(couplings.shape[1], couplings.shape[2]):
+            use_stream = (not auto) or stream_bf16
+            use_pallas = use_stream
+    if use_pallas and use_stream:
+        from onepose_tpu.ops.pallas.sinkhorn_stream import (
+            sinkhorn_potentials_streamed,
         )
 
-        # VMEM guard: the kernel pins the whole [M+1, N+1] coupling matrix
-        # in VMEM; beyond the budget (e.g. SfM's 4096-keypoint extraction,
-        # reference src/sfm/extract_features.py:8-26) stream from HBM via
-        # the XLA scan instead.
-        use_pallas = fits_vmem(couplings.shape[1], couplings.shape[2])
-    if use_pallas:
+        u, v = sinkhorn_potentials_streamed(
+            couplings, log_mu, log_nu, iters,
+            coupling_dtype=jnp.bfloat16 if stream_bf16 else None,
+        )
+    elif use_pallas:
         from onepose_tpu.ops.pallas.sinkhorn import sinkhorn_potentials
 
         u, v = sinkhorn_potentials(couplings, log_mu, log_nu, iters)
@@ -148,6 +174,8 @@ class SuperGlue(nn.Module):
     keypoint_encoder: tuple = (32, 64, 128, 256)
     sinkhorn_iterations: int = 100
     sinkhorn_use_pallas: Optional[bool] = None  # None = auto (TPU backend)
+    # bf16-stored coupling for the streaming (above-VMEM) Sinkhorn path.
+    sinkhorn_stream_bf16: bool = False
     match_threshold: float = 0.2
     dtype: jnp.dtype = jnp.float32
 
@@ -216,6 +244,7 @@ class SuperGlue(nn.Module):
         z = log_sinkhorn(
             sim, bin_score, mask0, mask1, self.sinkhorn_iterations,
             use_pallas=self.sinkhorn_use_pallas,
+            stream_bf16=self.sinkhorn_stream_bf16,
         )
 
         return extract_matches(

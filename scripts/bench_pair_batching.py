@@ -24,7 +24,7 @@ from onepose_tpu.parallel.sfm_parallel import (
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 P = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-F, C = 16, 256
+F, C = 16, 256  # frames, descriptor dim
 HW = (512, 512)
 
 rng = np.random.default_rng(0)
@@ -109,7 +109,7 @@ def sg_serial(ps):
 
 
 a = timed("SuperGlue serial (per-pair)", sg_serial)
-for chunk in (4, 8):
+for chunk in ((2, 4) if N >= 4096 else (4, 8)):
     b = timed(
         f"SuperGlue batched chunk={chunk}",
         make_superglue_pair_matcher(sg, params, feats, pair_chunk=chunk),

@@ -41,6 +41,28 @@ class TestSinkhornKernel:
             atol=1e-4,
         )
 
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_both_sides_fully_masked_stays_finite(self, use_pallas):
+        """Degenerate probe: zero valid keypoints on BOTH sides. Before
+        the norm clamp, -log(ms + ns) = inf poisoned every slot with NaN
+        (found by the round-5 on-chip verify drive)."""
+        from onepose_tpu.models.superglue import extract_matches
+
+        rng = np.random.default_rng(3)
+        b, m, n = 1, 24, 32
+        scores = jnp.asarray(rng.normal(size=(b, m, n)), jnp.float32)
+        z = log_sinkhorn(
+            scores, jnp.asarray(0.5), jnp.zeros((b, m), bool),
+            jnp.zeros((b, n), bool), iters=20, use_pallas=use_pallas,
+        )
+        out = extract_matches(
+            z, 0.2, mask0=jnp.zeros((b, m), bool),
+            mask1=jnp.zeros((b, n), bool),
+        )
+        assert np.isfinite(np.asarray(out["matching_scores0"])).all()
+        assert (np.asarray(out["matches0"]) == -1).all()
+        assert (np.asarray(out["matches1"]) == -1).all()
+
     def test_marginals_sum_to_one(self):
         rng = np.random.default_rng(1)
         b, m, n = 1, 40, 56
@@ -378,6 +400,168 @@ class TestSinkhornVmemGuard:
         np.testing.assert_allclose(
             np.asarray(z_guarded), np.asarray(z_xla), atol=1e-5
         )
+
+
+class TestSinkhornStreamed:
+    """Row-blocked HBM-streaming Sinkhorn (ops/pallas/sinkhorn_stream) —
+    the above-VMEM path for the reference's 4096-keypoint SfM budget
+    (src/sfm/extract_features.py:8-26). Parity vs the XLA scan."""
+
+    @pytest.mark.parametrize("m,n", [(130, 200), (300, 260)])
+    def test_matches_scan_path(self, m, n):
+        from onepose_tpu.ops.pallas.sinkhorn_stream import (
+            sinkhorn_potentials_streamed,
+        )
+
+        rng = np.random.default_rng(0)
+        b = 2
+        scores = jnp.asarray(rng.normal(size=(b, m, n)), jnp.float32)
+        NEG = -1e9
+        mask0 = np.asarray(rng.random((b, m)) < 0.8)
+        mask1 = np.asarray(rng.random((b, n)) < 0.8)
+        scores = jnp.where(
+            mask0[:, :, None] & mask1[:, None, :], scores, NEG
+        )
+        log_mu = jnp.where(mask0, -np.log(m), NEG)
+        log_nu = jnp.where(mask1, -np.log(n), NEG)
+
+        iters = 30
+
+        def scan(c, mu, nu):
+            def body(carry, _):
+                u, v = carry
+                u = mu - jax.nn.logsumexp(c + v[:, None, :], axis=2)
+                v = nu - jax.nn.logsumexp(c + u[:, :, None], axis=1)
+                return (u, v), None
+
+            (u, v), _ = jax.lax.scan(
+                body, (jnp.zeros_like(mu), jnp.zeros_like(nu)), None,
+                length=iters,
+            )
+            return u, v
+
+        u_ref, v_ref = scan(scores, log_mu, log_nu)
+        # block_rows=128 with m=300 -> 3 row blocks: the online column
+        # accumulator spans multiple blocks.
+        u, v = sinkhorn_potentials_streamed(
+            scores, log_mu, log_nu, iters, block_rows=128
+        )
+        np.testing.assert_allclose(
+            np.where(mask0, np.asarray(u), 0.0),
+            np.where(mask0, np.asarray(u_ref), 0.0),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.where(mask1, np.asarray(v), 0.0),
+            np.where(mask1, np.asarray(v_ref), 0.0),
+            atol=1e-4,
+        )
+
+    def test_log_sinkhorn_routes_large_to_stream(self):
+        """Above the VMEM budget, use_pallas=True must route to the
+        streaming kernel and agree with the explicit XLA scan."""
+        from unittest import mock
+
+        import onepose_tpu.ops.pallas.sinkhorn as sk
+        import onepose_tpu.ops.pallas.sinkhorn_stream as sks
+
+        rng = np.random.default_rng(1)
+        b, m, n = 1, 140, 150
+        scores = jnp.asarray(rng.normal(size=(b, m, n)), jnp.float32)
+        m0 = jnp.asarray(rng.random((b, m)) < 0.9)
+        m1 = jnp.asarray(rng.random((b, n)) < 0.9)
+        bin_score = jnp.asarray(0.5, jnp.float32)
+        called = {}
+        orig = sks.sinkhorn_potentials_streamed
+
+        def spy(*a, **k):
+            called["stream"] = True
+            return orig(*a, **k)
+
+        with mock.patch.object(sk, "_VMEM_BUDGET_ELEMS", 1), \
+                mock.patch.object(
+                    sks, "sinkhorn_potentials_streamed", spy):
+            z_stream = log_sinkhorn(
+                scores, bin_score, m0, m1, iters=25, use_pallas=True
+            )
+        assert called.get("stream"), "large problem must use the stream"
+        z_xla = log_sinkhorn(
+            scores, bin_score, m0, m1, iters=25, use_pallas=False
+        )
+        mm0 = jnp.concatenate([m0, jnp.ones((b, 1), bool)], axis=1)
+        mm1 = jnp.concatenate([m1, jnp.ones((b, 1), bool)], axis=1)
+        valid = mm0[:, :, None] & mm1[:, None, :]
+        np.testing.assert_allclose(
+            np.where(valid, z_stream, 0.0),
+            np.where(valid, z_xla, 0.0),
+            atol=1e-4,
+        )
+
+    def test_bf16_coupling_match_agreement(self):
+        """bf16-stored coupling: potentials differ by the coupling's
+        quantization (~4e-3) but the extracted mutual-max matches must
+        agree with fp32 on a realistic (noisy-correspondence) problem."""
+        from onepose_tpu.models.superglue import extract_matches
+
+        rng = np.random.default_rng(2)
+        b, n = 1, 180
+        # Planted assignment: descriptor similarity with noise.
+        d = rng.normal(size=(n, 64)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d2 = d + 0.2 * rng.normal(size=(n, 64)).astype(np.float32)
+        d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+        scores = jnp.asarray((d @ d2.T)[None] * 8.0)
+        m0 = jnp.ones((b, n), bool)
+        bin_score = jnp.asarray(1.0, jnp.float32)
+
+        from unittest import mock
+
+        import onepose_tpu.ops.pallas.sinkhorn as sk
+
+        with mock.patch.object(sk, "_VMEM_BUDGET_ELEMS", 1):
+            z32 = log_sinkhorn(
+                scores, bin_score, m0, m0, iters=50, use_pallas=True
+            )
+            z16 = log_sinkhorn(
+                scores, bin_score, m0, m0, iters=50, use_pallas=True,
+                stream_bf16=True,
+            )
+        mt32 = extract_matches(z32, 0.2)["matches0"]
+        mt16 = extract_matches(z16, 0.2)["matches0"]
+        agree = (np.asarray(mt32) == np.asarray(mt16)).mean()
+        assert agree > 0.99, agree
+
+
+class TestFlashAttention:
+    """Opt-in flash path of masked_softmax_attention (models/common.py):
+    parity vs the XLA path, incl. key-side masking via segment ids and
+    the fully-masked guard. Interpreter mode on CPU."""
+
+    def test_matches_xla_path(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from onepose_tpu.models.common import masked_softmax_attention
+
+        rng = np.random.default_rng(0)
+        B, N, M, H, D = 2, 300, 260, 4, 64  # pads to 512 inside
+        q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, M)) < 0.8)
+        mask = mask.at[1].set(False)  # one example fully masked
+
+        ref = masked_softmax_attention(q, k, v, mask, use_flash=False)
+        with pltpu.force_tpu_interpret_mode():
+            out = masked_softmax_attention(q, k, v, mask, use_flash=True)
+        # Example 0: numerical parity. Example 1 (no valid keys): the
+        # guard zeroes the flash output (the XLA path yields the
+        # uniform-average of v there; both are don't-care but must be
+        # finite).
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(ref[0]), atol=2e-4
+        )
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
 
 
 class TestNMSKernel:
