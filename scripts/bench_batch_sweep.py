@@ -1,4 +1,5 @@
-"""End-to-end pipeline fps at different batch sizes."""
+"""End-to-end pipeline fps at different batch sizes (serving default:
+PosePipeline bf16 GNN/conv compute, fp32 solver/ordering)."""
 
 import time
 from functools import partial
@@ -16,9 +17,9 @@ ITERS = 30
 
 rng = np.random.default_rng(0)
 key = jax.random.PRNGKey(0)
-sp = SuperPoint()
-matcher = GATsSPG()
-pipe = PosePipeline(sp, matcher, max_keypoints=N_KPTS)
+pipe = PosePipeline(max_keypoints=N_KPTS)  # serving default (bf16 compute)
+sp = pipe.superpoint
+matcher = pipe.matcher
 anno = ObjectAnnotation(
     points3d=jnp.asarray(rng.normal(size=(N3, 3)) * 0.1, jnp.float32),
     desc3d=jnp.asarray(rng.normal(size=(N3, 256)), jnp.float32),
@@ -50,8 +51,8 @@ for B in (8, 16, 32):
         c, _ = jax.lax.scan(body, imgs, jnp.arange(ITERS))
         return jnp.sum(c * 0.0)
 
-    jax.block_until_ready(run(images))
+    float(run(images))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(images))
+    float(run(images))
     dt = (time.perf_counter() - t0) / ITERS
     print(f"batch {B}: {B / dt:8.1f} fps  ({dt * 1000:.1f} ms/iter)")

@@ -33,9 +33,9 @@ def bench(num_blocks):
         c, _ = jax.lax.scan(body, x, jnp.arange(ITERS))
         return jnp.sum(c * 0.0)
 
-    jax.block_until_ready(run(d2))
+    float(run(d2))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(d2))
+    float(run(d2))
     return (time.perf_counter() - t0) / ITERS * 1000
 
 
