@@ -49,7 +49,37 @@ def points_sharding(mesh: Mesh, points_axis: int, ndim: int) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree so axis 0 is sharded over the data axis."""
+    """Device-put a pytree so axis 0 is sharded over the data axis.
+
+    Multi-process safe: when the mesh spans processes (multi-host DCN
+    training), each process holds the identical host batch and
+    materializes only its addressable shards via
+    jax.make_array_from_callback — jax.device_put cannot target
+    non-addressable devices."""
+    if jax.process_count() > 1:
+        def to_global(x):
+            x = np.asarray(x)
+            sh = batch_sharding(mesh, x.ndim)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: x[idx]
+            )
+
+        return jax.tree.map(to_global, batch)
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
     )
+
+
+def replicate_pytree(mesh: Mesh, tree):
+    """Replicate a (process-locally identical) pytree over a possibly
+    process-spanning mesh."""
+    if jax.process_count() > 1:
+        def to_global(x):
+            x = np.asarray(x)
+            sh = replicated(mesh)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: x[idx]
+            )
+
+        return jax.tree.map(to_global, tree)
+    return jax.device_put(tree, replicated(mesh))

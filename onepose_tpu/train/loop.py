@@ -55,6 +55,10 @@ class LoopConfig:
 
 
 def _log(metrics_file: str, record: dict) -> None:
+    # Rank-0 only under multi-process training (the reference's
+    # rank-guarded logging, GATsSPG_lightning_model.py:46).
+    if jax.process_index() != 0:
+        return
     os.makedirs(osp.dirname(metrics_file) or ".", exist_ok=True)
     with open(metrics_file, "a") as f:
         f.write(json.dumps(record) + "\n")
@@ -98,12 +102,18 @@ def train(
     train_cfg = train_cfg or TrainConfig(steps_per_epoch=steps_per_epoch)
 
     # Data axis must divide the batch: use the largest divisor of
-    # batch_size that fits the device count (single chip -> 1).
+    # batch_size that fits the GLOBAL device count. Under multi-process
+    # (multi-host) training this builds ONE mesh over every process's
+    # devices — the SPMD equivalent of the reference's DDP Trainer
+    # (train.py:73): every process runs this identical loop, feeds the
+    # identical (seeded) batch stream, and owns only its addressable
+    # shard of each global batch.
     n_dev = jax.device_count()
     n_data = max(
         d for d in range(1, n_dev + 1) if loop_cfg.batch_size % d == 0
     )
     mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+    multiprocess = jax.process_count() > 1
     example = next(
         batch_iterator_fn(dataset, loop_cfg.batch_size, seed=0)
     )
@@ -124,6 +134,13 @@ def train(
     run_dir = osp.dirname(loop_cfg.metrics_file) or "."
     for cb in callbacks:
         cb.on_train_start(run_dir, dataclasses.asdict(loop_cfg))
+
+    if multiprocess:
+        # Params/opt-state replicate over the global mesh (identical on
+        # every process by seeded construction / checkpoint load).
+        from onepose_tpu.parallel.mesh import replicate_pytree
+
+        state = replicate_pytree(mesh, state)
 
     step_fn = jax.jit(make_train_step(model, train_cfg))
     history = []
@@ -154,12 +171,22 @@ def train(
             "epoch_seconds": time.time() - t0,
         }
         if val_fn is not None:
-            record.update(val_fn(state))
+            # Validation shards ITEMS across processes (strided), so each
+            # process must run it on process-LOCAL params — hand val_fn a
+            # host copy of the (replicated) state, not the global arrays,
+            # or per-process jits would deadlock waiting for lockstep.
+            val_state = (
+                jax.tree.map(lambda x: np.asarray(x), state)
+                if multiprocess
+                else state
+            )
+            record.update(val_fn(val_state))
         for cb in callbacks:
             cb.on_epoch_end(epoch, record, state)
         _log(loop_cfg.metrics_file, record)
         history.append(record)
-        save_checkpoint(loop_cfg.ckpt_dir, state, epoch)
+        if jax.process_index() == 0:
+            save_checkpoint(loop_cfg.ckpt_dir, state, epoch)
     for cb in callbacks:
         cb.on_train_end(history)
     result = {"state": state, "history": history}

@@ -515,12 +515,75 @@ def task_serve(args, jax):
     )
 
 
+def task_train_loop(args, jax):
+    """The REAL train() loop (train/loop.py) running multi-process: both
+    processes execute the identical loop over a global (data=N) mesh —
+    seeded identical batch streams, each process materializing only its
+    addressable shards (parallel.mesh.shard_batch), params replicated,
+    rank-0-only logging/checkpointing, process-sharded pose validation.
+    Rank 0 re-runs the same dataset single-process-style (dense local
+    mesh) and asserts the loss history matches — the reference's DDP
+    Trainer semantics (train.py:73) for the actual training driver, not
+    a hand-built step."""
+    import numpy as np
+
+    from onepose_tpu.models.gats_spg import GATsSPG
+    from onepose_tpu.train.loop import (
+        LoopConfig,
+        make_pose_val_fn,
+        train,
+    )
+    from onepose_tpu.train.train_step import TrainConfig
+
+    n2, n3, L, C = 24, 32, 2, 32
+    items = _val_items(n_items=8, n2=n2, n3=n3, L=L, C=C, seed=5)
+    # Train items: planted identity assignment on the first n2 points.
+    conf_gt = np.zeros((n2, n3), np.float32)
+    conf_gt[np.arange(n2), np.arange(n2)] = 1.0
+    dataset = [
+        {**{k: it[k] for k in (
+            "desc2d", "desc3d", "leaf_desc", "mask2d", "mask3d",
+            "leaf_mask")}, "conf_gt": conf_gt}
+        for it in items
+    ]
+
+    model = GATsSPG(d_model=C, num_blocks=1, fused_match=False)
+    cfg = TrainConfig(steps_per_epoch=2)
+
+    out = train(
+        dataset,
+        model=model,
+        train_cfg=cfg,
+        loop_cfg=LoopConfig(
+            max_epochs=3,
+            batch_size=4,
+            ckpt_dir=osp.join(args.workdir, "ckpt"),
+            metrics_file=osp.join(args.workdir, "metrics.jsonl"),
+            resume=False,
+            seed=7,
+        ),
+        val_fn=make_pose_val_fn(items[:4], model, n_hyp=32),
+    )
+    losses = [r["train_loss"] for r in out["history"]]
+    val_cmd5 = out["history"][-1].get("val_cmd5")
+
+    payload = {"losses": losses, "val_cmd5": val_cmd5}
+    if args.pid == 0:
+        assert osp.exists(osp.join(args.workdir, "ckpt"))
+        assert osp.exists(osp.join(args.workdir, "metrics.jsonl"))
+    else:
+        # Rank-guarding: only rank 0 writes metrics (ckpt dir is shared).
+        pass
+    _write(args, "train_loop", payload)
+
+
 TASKS = {
     "comm": task_comm,
     "val": task_val,
     "map": task_map,
     "train": task_train,
     "serve": task_serve,
+    "train_loop": task_train_loop,
 }
 
 

@@ -170,6 +170,54 @@ def test_serving_spans_processes(tmp_path):
 
 
 @pytest.mark.slow
+def test_real_train_loop_spans_processes(tmp_path):
+    """The ACTUAL training driver (train/loop.py train()) executed by 2
+    processes as one SPMD program per step: global (data) mesh, seeded
+    identical batch streams with per-process addressable shards, params
+    replicated, rank-0-only metrics/checkpoints, process-sharded pose
+    validation. Loss history must match a single-process run of the same
+    train() on this host (reduction-order tolerance) — reference DDP
+    Trainer parity for the real loop, not a hand-built step."""
+    results = _launch("train_loop", str(tmp_path), timeout=1800)
+    r0, r1 = results
+    assert r0["losses"] == pytest.approx(r1["losses"], rel=1e-12)
+    assert r0["val_cmd5"] == pytest.approx(r1["val_cmd5"], abs=1e-12)
+    # Only rank 0 writes metrics/checkpoints.
+    assert osp.exists(osp.join(str(tmp_path), "metrics.jsonl"))
+    assert osp.exists(osp.join(str(tmp_path), "ckpt"))
+
+    # Single-process reference with the identical dataset/config.
+    import tests.mp_worker as mpw
+    from onepose_tpu.models.gats_spg import GATsSPG
+    from onepose_tpu.train.loop import LoopConfig, train
+    from onepose_tpu.train.train_step import TrainConfig
+
+    n2, n3, L, C = 24, 32, 2, 32
+    items = mpw._val_items(n_items=8, n2=n2, n3=n3, L=L, C=C, seed=5)
+    conf_gt = np.zeros((n2, n3), np.float32)
+    conf_gt[np.arange(n2), np.arange(n2)] = 1.0
+    dataset = [
+        {**{k: it[k] for k in (
+            "desc2d", "desc3d", "leaf_desc", "mask2d", "mask3d",
+            "leaf_mask")}, "conf_gt": conf_gt}
+        for it in items
+    ]
+    out = train(
+        dataset,
+        model=GATsSPG(d_model=C, num_blocks=1, fused_match=False),
+        train_cfg=TrainConfig(steps_per_epoch=2),
+        loop_cfg=LoopConfig(
+            max_epochs=3, batch_size=4,
+            ckpt_dir=str(tmp_path / "ref_ckpt"),
+            metrics_file=str(tmp_path / "ref_metrics.jsonl"),
+            resume=False, seed=7,
+        ),
+    )
+    ref_losses = [r["train_loss"] for r in out["history"]]
+    assert r0["losses"] == pytest.approx(ref_losses, rel=1e-4)
+
+
+@pytest.mark.slow
 def test_map_roster_process_sharded(tmp_path):
     """Two processes, two objects: each rank maps exactly its strided
     share of the roster (cli/map_object.py:123-124) and all artifacts
