@@ -55,6 +55,11 @@ def run(cfg: dict) -> dict:
     from onepose_tpu.runtime.pipeline import PosePipeline
 
     assert cfg["data_dir"], "infer: data_dir is required"
+    # Multi-host (DCN) join when JAX_COORDINATOR_ADDRESS etc. are set;
+    # no-op for the common single-process run.
+    from onepose_tpu.utils.comm import init_distributed
+
+    init_distributed()
     # Roster support (reference inference.py:185-198 loops all object
     # sequences): data_dir may be one directory, a comma-separated list,
     # or a glob pattern. Metrics are recorded per sequence and aggregated
@@ -86,10 +91,22 @@ def run(cfg: dict) -> dict:
         cfg["batch"] = ((cfg["batch"] + n_dev - 1) // n_dev) * n_dev
         pipe_call = pipe.sharded(mesh)
 
+    # Multi-host roster sharding (mirrors `map`, cli/map_object.py):
+    # each process evaluates a strided share of the sequences; aggregate
+    # recalls combine EXACTLY across processes via Evaluator sufficient
+    # statistics (the reference's DDP val gather,
+    # GATsSPG_lightning_model.py:99-103).
+    n_proc = jax.process_count()
+    my_seq_dirs = (
+        seq_dirs[jax.process_index() :: n_proc]
+        if n_proc > 1
+        else seq_dirs
+    )
+
     per_seq = {}
     overall = Evaluator()
     total_frames = 0
-    for seq_dir in seq_dirs:
+    for seq_dir in my_seq_dirs:
         anno_dir = cfg["anno_dir"] or osp.join(
             osp.dirname(seq_dir), "outputs", "anno"
         )
@@ -110,7 +127,24 @@ def run(cfg: dict) -> dict:
         if cfg["eval_out"]:
             record_eval_result(cfg["eval_out"], seq_name, m)
 
-    if len(seq_dirs) == 1:
+    if n_proc > 1:
+        # Exact cross-process aggregation; every process returns the
+        # identical full-roster metrics. per_seq stays process-local
+        # (each rank records its own sequences to eval_out above).
+        from onepose_tpu.utils.comm import all_gather_pytree
+
+        counts = all_gather_pytree(overall.counts())
+        frames = all_gather_pytree(np.asarray(total_frames))
+        metrics = Evaluator.combine_counts(counts)
+        metrics["num_frames"] = int(sum(int(f) for f in frames))
+        metrics["per_seq"] = per_seq
+        if cfg["eval_out"] and jax.process_index() == 0:
+            record_eval_result(
+                cfg["eval_out"],
+                "ALL",
+                {k: v for k, v in metrics.items() if k != "per_seq"},
+            )
+    elif len(seq_dirs) == 1:
         metrics = next(iter(per_seq.values()))
     else:
         metrics = overall.summarize()

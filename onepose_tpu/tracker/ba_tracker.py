@@ -205,10 +205,9 @@ class BATracker:
         assert self.state is not None, "call initialize() first"
         cfg = self.cfg
         pose = jnp.asarray(pose, jnp.float32)
-        if not bool(jnp.isfinite(pose).all()):
-            return False
-        t_j, r_j = pose_distance(self.state.pose_hist[2], pose)
-        if float(t_j) > cfg.kf_reject_cm or float(r_j) > cfg.kf_reject_deg:
+        # Single packed accept check (one host fetch, matching track()'s
+        # one-dispatch/one-fetch contract on the keyframe path too).
+        if not bool(_kf_accept(self.state.pose_hist[2], pose, cfg)):
             return False
 
         st = self.state
@@ -307,6 +306,18 @@ class BATracker:
 
 
 # ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cfg",))
+def _kf_accept(last_pose, pose, cfg: TrackerConfig):
+    """Keyframe accept predicate (reference ba_tracker.py:128-145) as one
+    scalar: finite AND within the pose-jump gates."""
+    t_j, r_j = pose_distance(last_pose, pose)
+    return (
+        jnp.isfinite(pose).all()
+        & (t_j < cfg.kf_reject_cm)
+        & (r_j < cfg.kf_reject_deg)
+    )
+
+
 def _flow_pose(st: TrackerState, image, K, key, cfg: TrackerConfig):
     """LK-track keyframe keypoints with 3D ids into the query; PnP."""
     kf = st.kf_slot

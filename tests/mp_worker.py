@@ -515,6 +515,39 @@ def task_serve(args, jax):
     )
 
 
+def task_infer(args, jax):
+    """Process-sharded evaluation roster (cli/infer.py): each rank
+    evaluates a strided share of the sequences; aggregate recalls
+    combine exactly across processes — both ranks must report identical
+    full-roster metrics (reference DDP eval gather semantics)."""
+    from onepose_tpu.cli.infer import DEFAULTS, run
+    from onepose_tpu.config import load_config
+
+    data = json.loads(args.data)
+    cfg = load_config(
+        DEFAULTS,
+        None,
+        [
+            "data_dir=" + ",".join(data["seq_dirs"]),
+            "matcher=nn",
+            f"max_keypoints={data.get('max_keypoints', 64)}",
+            f"shape3d={data.get('shape3d', 200)}",
+            "batch=4",
+        ],
+    )
+    metrics = run(cfg)
+    _write(
+        args,
+        "infer",
+        {
+            "agg": {
+                k: v for k, v in metrics.items() if k != "per_seq"
+            },
+            "local_seqs": sorted(metrics.get("per_seq", {})),
+        },
+    )
+
+
 def task_train_loop(args, jax):
     """The REAL train() loop (train/loop.py) running multi-process: both
     processes execute the identical loop over a global (data=N) mesh —
@@ -584,6 +617,7 @@ TASKS = {
     "train": task_train,
     "serve": task_serve,
     "train_loop": task_train_loop,
+    "infer": task_infer,
 }
 
 

@@ -170,6 +170,47 @@ def test_serving_spans_processes(tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_roster_process_sharded(tmp_path):
+    """Two processes, two object sequences: `infer` strides the roster
+    per process and combines recall counts exactly — both ranks report
+    identical full-roster aggregate metrics while evaluating disjoint
+    sequence shares."""
+    from onepose_tpu.__main__ import main as cli_main
+    from tests.test_cli import build_sequence
+
+    rng = np.random.default_rng(21)
+    seq_dirs = []
+    for name in ("a", "b"):
+        seq = build_sequence(tmp_path / name, rng, n_frames=6, img=96,
+                             n_pts=30)
+        rc = cli_main(
+            [
+                "map", f"data_dir={seq}", "max_keypoints=64",
+                "num_covis=3", "max_points3d=200",
+            ]
+        )
+        assert rc == 0
+        # Distinct basenames so per_seq keys don't collide (both builds
+        # name the sequence dir 'seq'); the anno default resolves from
+        # the parent dir, which is unchanged.
+        renamed = osp.join(osp.dirname(seq), f"seq_{name}")
+        os.rename(seq, renamed)
+        seq_dirs.append(renamed)
+
+    results = _launch(
+        "infer", str(tmp_path), data={"seq_dirs": seq_dirs},
+    )
+    r0, r1 = results
+    # Identical full-roster aggregates on every rank.
+    for k, v in r0["agg"].items():
+        assert r1["agg"][k] == pytest.approx(v, abs=1e-9), k
+    assert r0["agg"]["num_frames"] == 12
+    # Disjoint local shares covering the roster.
+    assert not set(r0["local_seqs"]) & set(r1["local_seqs"])
+    assert len(r0["local_seqs"]) + len(r1["local_seqs"]) == 2
+
+
+@pytest.mark.slow
 def test_real_train_loop_spans_processes(tmp_path):
     """The ACTUAL training driver (train/loop.py train()) executed by 2
     processes as one SPMD program per step: global (data) mesh, seeded
