@@ -221,11 +221,14 @@ class TestTracker:
 
         from unittest import mock
 
+        cache_before = orig_mega._cache_size()
         with mock.patch.object(bt, "_megastep", spy_mega), \
                 mock.patch.object(BATracker, "_unpack", spy_unpack):
             for i in range(3):
                 calls.clear()
                 tracker.track(jnp.asarray(image0), kpts, descs, mask, K)
                 assert calls == ["dispatch", "fetch"], calls
-        # One compiled program serves keyframe and non-keyframe cadences.
-        assert orig_mega._cache_size() == 1
+        # ONE new compiled program serves keyframe and non-keyframe
+        # cadences alike (other tests may have populated the cache with
+        # other TrackerConfig shapes, so assert the delta).
+        assert orig_mega._cache_size() - cache_before == 1
