@@ -34,10 +34,11 @@ def _round_up(x: int, m: int) -> int:
 # 12 MB / (3 buffers * 4 B) ~= 1M elements — the SuperGlue default
 # (1025 x 1025 -> 1032 x 1152 = 1.19M, ~14 MB total) is the measured
 # upper edge that still fits; SfM's 4096-keypoint extraction budget
-# (4104 x 4224 = 17.3M, ~208 MB) cannot be pinned. Above the budget
-# callers must stream from HBM instead (the XLA scan path) — a tiled
-# Pallas variant would re-read C from HBM every iteration exactly like
-# the scan, so there is nothing to win from tiling.
+# (4104 x 4224 = 17.3M, ~208 MB) cannot be pinned. Above the budget the
+# default is the XLA scan — measured on chip, XLA fuses both logsumexp
+# updates into one HBM sweep per iteration, matching the row-blocked
+# streaming kernel (ops/pallas/sinkhorn_stream.py), which therefore
+# stays opt-in (docs/PERFORMANCE.md "The 4096-keypoint budget").
 _VMEM_BUDGET_ELEMS = 1_300_000
 
 

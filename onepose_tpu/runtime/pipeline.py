@@ -47,8 +47,31 @@ class ObjectAnnotation:
     leaf_mask: jnp.ndarray
 
     @property
+    def batched(self) -> bool:
+        """True when the annotation carries a leading batch axis (one
+        object PER FRAME — mixed-object serving batches; see
+        PosePipeline and stack_annotations)."""
+        return self.mask3d.ndim == 2
+
+    @property
     def n_points(self) -> int:
-        return self.points3d.shape[0]
+        return self.points3d.shape[-2]
+
+
+def stack_annotations(annos: list) -> ObjectAnnotation:
+    """Stack per-object annotations into a batched ObjectAnnotation so a
+    single serving batch can match each frame against its OWN object
+    (multi-object serving; the reference evaluates objects strictly
+    serially, inference.py:185-198). All annotations must share the
+    padded shapes (shape3d / num_leaf)."""
+    return ObjectAnnotation(
+        **{
+            k: jnp.stack([getattr(a, k) for a in annos])
+            for k in (
+                "points3d", "desc3d", "leaf_desc", "mask3d", "leaf_mask"
+            )
+        }
+    )
 
 
 class PosePipeline:
@@ -122,18 +145,20 @@ class PosePipeline:
         dict(keypoints [B, N, 2], descriptors [B, N, C], scores [B, N],
         mask [B, N])."""
         b = feats["keypoints"].shape[0]
-        desc3d = jnp.broadcast_to(
-            anno.desc3d[None], (b,) + anno.desc3d.shape
-        )
-        leaves = jnp.broadcast_to(
-            anno.leaf_desc[None], (b,) + anno.leaf_desc.shape
-        )
-        mask3d = jnp.broadcast_to(
-            anno.mask3d[None], (b,) + anno.mask3d.shape
-        )
-        leaf_mask = jnp.broadcast_to(
-            anno.leaf_mask[None], (b,) + anno.leaf_mask.shape
-        )
+        # Single-object annotations broadcast over the frame batch;
+        # batched annotations (anno.batched — one object per frame) pass
+        # through as-is.
+        def per_frame(x):
+            return (
+                x
+                if anno.batched
+                else jnp.broadcast_to(x[None], (b,) + x.shape)
+            )
+
+        desc3d = per_frame(anno.desc3d)
+        leaves = per_frame(anno.leaf_desc)
+        mask3d = per_frame(anno.mask3d)
+        leaf_mask = per_frame(anno.leaf_mask)
         match = self.matcher.apply(
             matcher_params,
             feats["descriptors"],
@@ -147,7 +172,7 @@ class PosePipeline:
         # Gather 2D-3D correspondences (static shape: one slot per 2D kpt).
         idx = jnp.maximum(match["matches0"], 0)  # [B, N2]
         pts3d = jnp.take_along_axis(
-            jnp.broadcast_to(anno.points3d[None], (b,) + anno.points3d.shape),
+            per_frame(anno.points3d),
             idx[..., None],
             axis=1,
         )  # [B, N2, 3]
@@ -248,13 +273,20 @@ class PosePipeline:
             # batch in steady-state serving).
             if "fn" not in cache:
                 batch_sh = (spec(images), spec(K))
+                # Batched (per-frame-object) annotations shard with the
+                # frame batch; single-object annotations replicate.
+                anno_sh = (
+                    jax.tree.map(spec, anno)
+                    if anno.batched
+                    else jax.tree.map(lambda _: repl, anno)
+                )
                 cache["fn"] = jax.jit(
                     self._forward,
                     in_shardings=(
                         jax.tree.map(lambda _: repl, sp_params),
                         jax.tree.map(lambda _: repl, matcher_params),
                         *batch_sh,
-                        jax.tree.map(lambda _: repl, anno),
+                        anno_sh,
                         repl,
                     ),
                 )

@@ -116,6 +116,96 @@ class TestPipeline:
         assert np.all(np.isfinite(np.asarray(out["matching_scores0"])))
 
     @pytest.mark.slow
+    def test_multi_object_batched_annotation(self):
+        """Mixed-object serving batch: a batched ObjectAnnotation (one
+        object per frame, stack_annotations) must produce the same
+        poses/matches as per-object single-annotation calls — the
+        reference evaluates objects strictly serially
+        (inference.py:185-198); here one fused program serves them."""
+        from onepose_tpu.runtime.pipeline import stack_annotations
+
+        rng = np.random.default_rng(9)
+        b, img, n_kpts, n3d, L = 4, 64, 64, 32, 4
+        sp = SuperPoint()
+        matcher = GATsSPG(num_blocks=1)
+        pipe = PosePipeline(
+            sp, matcher, max_keypoints=n_kpts, ransac_hypotheses=32
+        )
+        images = jnp.asarray(rng.random((b, img, img, 1), np.float32))
+        K = jnp.broadcast_to(
+            jnp.asarray(
+                [[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], jnp.float32
+            ),
+            (b, 3, 3),
+        )
+
+        def make_anno(seed):
+            r = np.random.default_rng(seed)
+            return ObjectAnnotation(
+                points3d=jnp.asarray(
+                    r.normal(size=(n3d, 3)) * 0.1, jnp.float32
+                ),
+                desc3d=jnp.asarray(r.normal(size=(n3d, 256)), jnp.float32),
+                leaf_desc=jnp.asarray(
+                    r.normal(size=(n3d, L, 256)), jnp.float32
+                ),
+                mask3d=jnp.ones((n3d,), bool),
+                leaf_mask=jnp.ones((n3d, L), bool),
+            )
+
+        annos = [make_anno(s) for s in (0, 1)]
+        # Frames alternate objects: [obj0, obj1, obj0, obj1].
+        batched = stack_annotations([annos[i % 2] for i in range(b)])
+        assert batched.batched and not annos[0].batched
+
+        key = jax.random.PRNGKey(0)
+        sp_params = sp.init(key, images[:1])
+        m_params = matcher.init(
+            key,
+            jnp.zeros((1, n_kpts, 256), jnp.float32),
+            annos[0].desc3d[None],
+            annos[0].leaf_desc[None],
+            jnp.ones((1, n_kpts), bool),
+            annos[0].mask3d[None],
+            annos[0].leaf_mask[None],
+        )
+        out = pipe(sp_params, m_params, images, K, batched, key)
+
+        # Reference: each frame served with its own single annotation
+        # (same RANSAC key per frame slot via the batch key split).
+        for i in range(b):
+            ref = pipe(
+                sp_params,
+                m_params,
+                jnp.broadcast_to(images[i], (b,) + images.shape[1:]),
+                K,
+                annos[i % 2],
+                key,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out["pose"][i]),
+                np.asarray(ref["pose"][i]),
+                atol=1e-4,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out["matches0"][i]),
+                np.asarray(ref["matches0"][i]),
+            )
+
+        # Sharded serving path accepts the batched annotation too.
+        from onepose_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=4, n_points=1)
+        out_sh = pipe.sharded(mesh)(
+            sp_params, m_params, images, K, batched, key
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_sh["pose"]),
+            np.asarray(out["pose"]),
+            atol=1e-4,
+        )
+
+    @pytest.mark.slow
     def test_bf16_serving_default_agrees_with_fp32(self):
         """Default-constructed PosePipeline computes the GNN/convs in bf16
         (serving default); keypoints must agree with the fp32 pipeline at
