@@ -40,6 +40,12 @@ DEFAULTS = {
     # count. Replaces the reference's serial per-sequence GPU loop
     # (inference.py:185-198) with SPMD data parallelism.
     "data_parallel": False,
+    # Mixed-object batches: flatten the whole roster into one frame
+    # stream and serve each batch against a per-frame gathered batched
+    # annotation (runtime.pipeline.stack_annotations) — no per-sequence
+    # tail padding, one fused program for the entire roster. The
+    # reference evaluates objects strictly serially.
+    "batch_objects": False,
 }
 
 
@@ -106,26 +112,40 @@ def run(cfg: dict) -> dict:
     per_seq = {}
     overall = Evaluator()
     total_frames = 0
-    for seq_dir in my_seq_dirs:
-        anno_dir = cfg["anno_dir"] or osp.join(
-            osp.dirname(seq_dir), "outputs", "anno"
+    if cfg["batch_objects"] and my_seq_dirs:
+        assert not cfg.get("features_h5"), (
+            "batch_objects evaluates from images (the feature cache is "
+            "per-sequence)"
         )
-        anno = annotation_from_npz_dir(
-            anno_dir, num_leaf=cfg["num_leaf"], shape3d=cfg["shape3d"]
-        )
-        seq_name = (
-            cfg["seq_name"]
-            if len(seq_dirs) == 1
-            else osp.basename(osp.normpath(seq_dir))
-        )
-        m = _eval_sequence(
-            cfg, seq_dir, anno, pipe, sp_params, m_params, overall,
+        per_seq = _eval_roster_batched(
+            cfg, my_seq_dirs, pipe, sp_params, m_params, overall,
             pipe_call=pipe_call,
         )
-        per_seq[seq_name] = m
-        total_frames += m["num_frames"]
-        if cfg["eval_out"]:
-            record_eval_result(cfg["eval_out"], seq_name, m)
+        for seq_name, m in per_seq.items():
+            total_frames += m["num_frames"]
+            if cfg["eval_out"]:
+                record_eval_result(cfg["eval_out"], seq_name, m)
+    else:
+        for seq_dir in my_seq_dirs:
+            anno_dir = cfg["anno_dir"] or osp.join(
+                osp.dirname(seq_dir), "outputs", "anno"
+            )
+            anno = annotation_from_npz_dir(
+                anno_dir, num_leaf=cfg["num_leaf"], shape3d=cfg["shape3d"]
+            )
+            seq_name = (
+                cfg["seq_name"]
+                if len(seq_dirs) == 1
+                else osp.basename(osp.normpath(seq_dir))
+            )
+            m = _eval_sequence(
+                cfg, seq_dir, anno, pipe, sp_params, m_params, overall,
+                pipe_call=pipe_call,
+            )
+            per_seq[seq_name] = m
+            total_frames += m["num_frames"]
+            if cfg["eval_out"]:
+                record_eval_result(cfg["eval_out"], seq_name, m)
 
     if n_proc > 1:
         # Exact cross-process aggregation; every process returns the
@@ -258,6 +278,88 @@ def _eval_sequence(
     metrics = ev.summarize()
     metrics["num_frames"] = n_frames
     return metrics
+
+
+def _eval_roster_batched(
+    cfg: dict, seq_dirs, pipe, sp_params, m_params, overall,
+    pipe_call=None,
+) -> dict:
+    """Mixed-object roster evaluation: ONE frame stream over every
+    sequence, each batch matched against a per-frame batched annotation
+    gathered on device from the stacked object annotations
+    (runtime.pipeline.stack_annotations). Removes per-sequence batch-tail
+    padding and keeps a single compiled program for the whole roster.
+    Returns {seq_name: metrics}."""
+    from onepose_tpu.data import paths as path_utils
+    from onepose_tpu.data.anno_io import annotation_from_npz_dir
+    from onepose_tpu.eval import Evaluator
+    from onepose_tpu.native.frame_loader import FrameLoader
+    from onepose_tpu.runtime.pipeline import stack_annotations
+
+    annos, jobs, seq_names = [], [], []
+    for si, seq_dir in enumerate(seq_dirs):
+        anno_dir = cfg["anno_dir"] or osp.join(
+            osp.dirname(seq_dir), "outputs", "anno"
+        )
+        annos.append(
+            annotation_from_npz_dir(
+                anno_dir, num_leaf=cfg["num_leaf"], shape3d=cfg["shape3d"]
+            )
+        )
+        seq_names.append(osp.basename(osp.normpath(seq_dir)))
+        for p in path_utils.list_color_images(seq_dir, cfg["det_type"]):
+            jobs.append((si, p))
+    stacked = stack_annotations(annos)  # leaves [K_obj, ...] on device
+
+    B = cfg["batch"]
+    evs = [Evaluator() for _ in seq_dirs]
+    frames = iter(FrameLoader([p for _, p in jobs], queue_cap=2 * B))
+    call = pipe_call or pipe
+    for s in range(0, len(jobs), B):
+        chunk = jobs[s : s + B]
+        imgs, Ks, poses, sis = [], [], [], []
+        for si, p in chunk:
+            _, img = next(frames)
+            if img is None:
+                raise FileNotFoundError(p)
+            imgs.append(img)
+            Ks.append(
+                np.loadtxt(
+                    path_utils.intrin_path_by_color(p, cfg["det_type"])
+                ).astype(np.float32)
+            )
+            poses.append(
+                np.loadtxt(
+                    path_utils.gt_pose_path_by_color(p, cfg["det_type"])
+                ).astype(np.float32)
+            )
+            sis.append(si)
+        pad = B - len(chunk)
+        if pad:
+            imgs += [imgs[-1]] * pad
+            Ks += [Ks[-1]] * pad
+            sis += [sis[-1]] * pad
+        # Per-frame annotation: a device-side gather of the stacked
+        # object annotations by sequence index (a few MB, no host copy).
+        obj_idx = jnp.asarray(np.asarray(sis))
+        banno = jax.tree.map(lambda x: x[obj_idx], stacked)
+        out = call(
+            sp_params, m_params,
+            jnp.asarray(np.stack(imgs))[..., None],
+            jnp.asarray(np.stack(Ks)),
+            banno,
+            jax.random.PRNGKey(s),
+        )
+        pose_pred = np.asarray(out["pose"])[: len(chunk)]
+        gt = np.stack(poses)
+        for j, (si, _) in enumerate(chunk):
+            evs[si].evaluate(pose_pred[j][None], gt[j][None])
+        overall.evaluate(pose_pred, gt)
+
+    per_seq = {}
+    for name, ev in zip(seq_names, evs):
+        per_seq[name] = ev.summarize()
+    return per_seq
 
 
 def add_parser(subparsers):

@@ -258,6 +258,63 @@ class TestMapInferCLI:
         assert osp.exists(osp.join(eval_out, "ALL.txt"))
         assert osp.exists(osp.join(eval_out, f"{seq_name}.txt"))
 
+    @pytest.mark.slow
+    def test_infer_batch_objects_matches_serial(self, tmp_path, capsys):
+        """Mixed-object evaluation batches (`infer batch_objects=true`):
+        the roster flattens into one frame stream with a per-frame
+        batched annotation gathered on device; recalls must equal the
+        serial per-sequence path on the same artifacts."""
+        import os
+
+        seq_dirs = []
+        for i, name in enumerate(("a", "b")):
+            seq, _ = build_textured_sequence(
+                tmp_path / name, np.random.default_rng(30 + i),
+                n_frames=6,
+            )
+            rc = cli_main(
+                [
+                    "map", f"data_dir={seq}", "max_keypoints=256",
+                    "num_covis=4", "max_points3d=300",
+                ]
+            )
+            assert rc == 0
+            capsys.readouterr()
+            renamed = osp.join(osp.dirname(seq), f"seq_{name}")
+            os.rename(seq, renamed)
+            seq_dirs.append(renamed)
+
+        common = [
+            "infer", f"data_dir={','.join(seq_dirs)}", "matcher=nn",
+            "max_keypoints=256", "shape3d=300", "batch=4",
+        ]
+        rc = cli_main(common)
+        assert rc == 0
+        serial = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        rc = cli_main(common + ["batch_objects=true"])
+        assert rc == 0
+        mixed = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert mixed["num_frames"] == serial["num_frames"] == 12
+        for k in ("cmd3", "cmd5"):
+            assert mixed[k] == pytest.approx(serial[k], abs=1e-9), k
+        # Batch composition changes the per-frame RANSAC keys, so a frame
+        # sitting exactly at the 1 cm threshold may flip: allow one.
+        assert abs(mixed["cmd1"] - serial["cmd1"]) <= 1 / 12 + 1e-9
+        assert mixed["cmd3"] == 1.0, mixed
+        assert abs(
+            mixed["mean_trans_cm"] - serial["mean_trans_cm"]
+        ) < 0.2
+        assert set(mixed["per_seq"]) == set(serial["per_seq"])
+        for name in mixed["per_seq"]:
+            assert (
+                mixed["per_seq"][name]["num_frames"]
+                == serial["per_seq"][name]["num_frames"]
+            )
+
     def test_map_roster(self, tmp_path, capsys):
         """`map` over a multi-object roster (reference run.py:96-137 loops
         all configured objects in one invocation): comma-separated
