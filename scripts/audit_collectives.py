@@ -15,7 +15,9 @@ Runs on the 8-device virtual CPU mesh; the HLO collectives are the same
 ones a TPU lowering emits (XLA SPMD partitioner runs before backend
 codegen).
 
-Usage: python scripts/audit_collectives.py
+Usage: python scripts/audit_collectives.py [n3] [shard counts...]
+(default n3=2000 shards 2,4; e.g. `audit_collectives.py 16000 4 8` checks
+the long-context axis at 8x the reference's 2000-point padding)
 """
 
 from __future__ import annotations
@@ -41,7 +43,9 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-N2, N3, LEAF, CH, BLOCKS = 1000, 2000, 8, 256, 4
+N2, LEAF, CH, BLOCKS = 1000, 8, 256, 4
+N3 = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+SHARDS = [int(a) for a in sys.argv[2:]] or [2, 4]
 
 _DTYPE_BYTES = {
     "f64": 8, "f32": 4, "f16": 2, "bf16": 2, "s64": 8, "u64": 8,
@@ -107,7 +111,7 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    for n_points in (2, 4):
+    for n_points in SHARDS:
         mesh = make_mesh(
             n_data=1, n_points=n_points,
             devices=jax.devices()[:n_points],
