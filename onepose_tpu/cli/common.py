@@ -133,6 +133,38 @@ def build_matcher(cfg: dict):
     return matcher, load_matcher_params(matcher, cfg["weights"]["matcher"])
 
 
+def load_superglue_params(
+    model, weights: Optional[str], key=None, n: int = 16
+):
+    """Load SuperGlue params from a torch .pth (converted) or a msgpack
+    checkpoint; random init when weights is None."""
+    import jax.numpy as jnp
+
+    key = key or jax.random.PRNGKey(0)
+    example = model.init(
+        key,
+        jnp.zeros((1, n, 2)), jnp.zeros((1, n, 2)),
+        jnp.zeros((1, n, model.d_model)), jnp.zeros((1, n, model.d_model)),
+        jnp.zeros((1, n)), jnp.zeros((1, n)),
+        (64, 64), (64, 64),
+    )
+    if weights is None:
+        return example
+    if weights.endswith((".pth", ".tar", ".pt", ".ckpt")):
+        import torch
+
+        from onepose_tpu.models.convert import superglue_from_torch
+
+        sd = torch.load(weights, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        return superglue_from_torch(sd)
+    from flax import serialization
+
+    with open(weights, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(example, raw)
+
+
 def build_feature_detector(
     db_seq_root: str,
     sp_params,
@@ -141,11 +173,18 @@ def build_feature_detector(
     max_keypoints: int = 1024,
     crop_size: int = 512,
     distance_thresh: float = 0.7,
+    match_kind: str = "nn",
+    sg_weights: Optional[str] = None,
 ):
     """Build a FeatureObjectDetector whose reference DB is SuperPoint
     features of views sampled from a mapping sequence (reference
-    local_feature_2D_detector.py:52-74), matched with batched mutual-NN.
-    Returns (detector, db_feats)."""
+    local_feature_2D_detector.py:52-74).
+
+    match_kind: 'nn' (default — batched mutual-NN, the weight-free
+    TPU-first matcher) or 'superglue' (the reference's detector matcher,
+    local_feature_2D_detector.py:76-133; params from sg_weights, all V
+    views matched in ONE batched forward). Returns (detector, db_feats).
+    """
     from onepose_tpu.detector.feature_detector import (
         FeatureObjectDetector,
         ReferenceDB,
@@ -167,21 +206,53 @@ def build_feature_detector(
         sizes_hw=np.tile(db_feats["image_hw"], (len(view_idx), 1)),
     )
 
-    def match_fn(db_, query):
-        V = db_.descriptors.shape[0]
-        m = mutual_nn_match(
-            db_.descriptors,
-            jnp.broadcast_to(
-                jnp.asarray(query["descriptors"])[None],
-                (V,) + query["descriptors"].shape,
-            ),
-            db_.mask,
-            jnp.broadcast_to(
-                jnp.asarray(query["mask"])[None], (V,) + query["mask"].shape
-            ),
-            distance_thresh=distance_thresh,
+    def bc(x, V):
+        x = jnp.asarray(x)
+        return jnp.broadcast_to(x[None], (V,) + x.shape)
+
+    if match_kind == "superglue":
+        from onepose_tpu.models import SuperGlue
+
+        sg = SuperGlue()
+        sg_params = load_superglue_params(sg, sg_weights)
+        db_hw = jnp.asarray(db.sizes_hw, jnp.float32)  # [V, 2]
+
+        fwd = jax.jit(
+            lambda p, k0, k1, d0, d1, s0, s1, m0, m1, hw1: sg.apply(
+                p, k0, k1, d0, d1, s0, s1, db_hw, hw1, m0, m1
+            )["matches0"]
         )
-        return m["matches0"]
+
+        def match_fn(db_, query):
+            V = db_.descriptors.shape[0]
+            q_hw = jnp.asarray(
+                np.asarray(
+                    query.get("image_hw", db_feats["image_hw"]),
+                    np.float32,
+                )
+            )
+            return fwd(
+                sg_params,
+                db_.keypoints, bc(query["keypoints"], V),
+                db_.descriptors, bc(query["descriptors"], V),
+                db_.scores, bc(query["scores"], V),
+                db_.mask, bc(query["mask"], V),
+                jnp.broadcast_to(q_hw[None], (V, 2)),
+            )
+
+    else:
+        assert match_kind == "nn", f"unknown detector matcher {match_kind!r}"
+
+        def match_fn(db_, query):
+            V = db_.descriptors.shape[0]
+            m = mutual_nn_match(
+                db_.descriptors,
+                bc(query["descriptors"], V),
+                db_.mask,
+                bc(query["mask"], V),
+                distance_thresh=distance_thresh,
+            )
+            return m["matches0"]
 
     return (
         FeatureObjectDetector(db, match_fn, crop_size=crop_size),

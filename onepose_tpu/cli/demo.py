@@ -32,8 +32,11 @@ DEFAULTS = {
     "data_dir": None,  # sequence root with color_full/, intrinsics.txt
     "anno_dir": None,
     "box_path": None,  # defaults to <data_dir>/../box3d_corners.txt
-    "weights": {"superpoint": None, "matcher": None},
+    "weights": {"superpoint": None, "matcher": None, "superglue": None},
     "matcher": "gats",  # 'gats' (learned) | 'nn' (descriptor mutual-NN)
+    # 2D-detector DB matcher: 'nn' (weight-free mutual-NN) | 'superglue'
+    # (the reference's detector matcher, weights from weights.superglue).
+    "detector_matcher": "nn",
     "nn_distance_thresh": 0.7,
     "max_keypoints": 1000,
     "shape3d": 2000,
@@ -96,6 +99,8 @@ def run(cfg: dict) -> dict:
         n_ref_views=cfg["n_ref_views"],
         max_keypoints=cfg["max_keypoints"],
         crop_size=cfg["crop_size"],
+        match_kind=cfg["detector_matcher"],
+        sg_weights=cfg["weights"].get("superglue"),
     )
 
     # Full frames + original intrinsics.
@@ -180,6 +185,7 @@ def run(cfg: dict) -> dict:
                         "descriptors": np.asarray(qf["descriptors"][0]),
                         "scores": np.asarray(qf["scores"][0]),
                         "mask": np.asarray(qf["mask"][0]),
+                        "image_hw": gray.shape,
                     }
                 )
             bbox = det["bbox"]

@@ -21,10 +21,13 @@ import jax.numpy as jnp
 DEFAULTS = {
     "db_dir": None,  # mapping sequence root (crops; reference-view DB)
     "query_dir": None,  # query sequence root with color_full/
-    "weights": {"superpoint": None},
+    "weights": {"superpoint": None, "superglue": None},
     "max_keypoints": 1000,
     "n_ref_views": 15,
     "crop_size": 512,
+    # 'nn' (weight-free mutual-NN) | 'superglue' (reference detector
+    # matcher, local_feature_2D_detector.py:76-133).
+    "detector_matcher": "nn",
 }
 
 
@@ -55,6 +58,8 @@ def run(cfg: dict) -> dict:
         n_ref_views=cfg["n_ref_views"],
         max_keypoints=cfg["max_keypoints"],
         crop_size=cfg["crop_size"],
+        match_kind=cfg["detector_matcher"],
+        sg_weights=cfg["weights"].get("superglue"),
     )
 
     full_dir = osp.join(query_dir, "color_full")
@@ -103,6 +108,7 @@ def run(cfg: dict) -> dict:
                 "descriptors": np.asarray(qf["descriptors"][0]),
                 "scores": np.asarray(qf["scores"][0]),
                 "mask": np.asarray(qf["mask"][0]),
+                "image_hw": gray.shape,
             }
         )
         bbox = det["bbox"]

@@ -491,6 +491,31 @@ class TestMapInferCLI:
         assert K_crop.shape == (3, 3) and np.isfinite(K_crop).all()
 
     @pytest.mark.slow
+    def test_detect_superglue_matcher(self, seq_dir, capsys):
+        """The reference's detector matcher option
+        (local_feature_2D_detector.py:76-133): detector_matcher=superglue
+        routes DB-view matching through the batched SuperGlue forward
+        (random init here — structural gate; converted released weights
+        load via weights.superglue)."""
+        rc = cli_main(
+            [
+                "detect",
+                f"db_dir={seq_dir}",
+                f"query_dir={seq_dir}",
+                "detector_matcher=superglue",
+                "max_keypoints=128",
+                "n_ref_views=3",
+                "crop_size=128",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["num_frames"] == 10
+        assert osp.exists(osp.join(seq_dir, "color_det", "0.png"))
+
+    @pytest.mark.slow
     def test_train_cmd(self, seq_dir, tmp_path, capsys):
         out_root = osp.join(osp.dirname(seq_dir), "outputs")
         if not osp.exists(osp.join(out_root, "anno", "anno_index.json")):
