@@ -170,6 +170,22 @@ def test_serving_spans_processes(tmp_path):
 
 
 @pytest.mark.slow
+def test_serving_spans_processes_production_crop(tmp_path):
+    """Process-spanning serving at the PRODUCTION 512 crop (reference
+    local_feature_2D_detector.py:160-186): the SuperPoint conv/extract
+    stages cross the process boundary at production image shape, not just
+    the matcher padding."""
+    results = _launch(
+        "serve", str(tmp_path), local_devices=4,
+        data={"hw": 512}, timeout=2400,
+    )
+    for r in results:
+        assert r["mesh"] == {"data": 2, "points": 4}
+        assert r["match_agreement"] > 0.999
+    assert sum(r["frames_checked_locally"] for r in results) >= 2
+
+
+@pytest.mark.slow
 def test_infer_roster_process_sharded(tmp_path):
     """Two processes, two object sequences: `infer` strides the roster
     per process and combines recall counts exactly — both ranks report
